@@ -1,13 +1,352 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Dedup, Knn, SpatialJoin}
+import graft.sources.SynthData
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
+  * operator, with DuckDB-equivalent `oracleSql` wherever the semantics are
+  * SQL-expressible. All numeric outputs are exact-integer-valued (sums of
+  * integer-quantized values, counts, ranks) or derive from identical SQL
+  * expression text on both sides, so the driver's hash-compare is
+  * deterministic — no FP-summation-order hazards.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def reg(spark: SparkSession): Unit = GraftFunctions.register(spark)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full spatial pipeline on sf0.001 — WKT parsed once,
+    * covered, cell-equijoined, ray-cast refined, tiled. */
+  def entry(spark: SparkSession): DataFrame = {
+    reg(spark)
+    val dir = "/root/testdata/sf0.001"
+    val pts = SynthData.images(spark, dir)
+      .withColumn("footprint_wkt", st_point_wkt(col("lon"), col("lat"), 16))
+      .withColumn("g", st_geomfromtext(col("footprint_wkt")))
+      .withColumn("c", st_centroid(col("g")))
+      .select(col("image_id"), col("point_id"), col("c.lon").as("lon"), col("c.lat").as("lat"))
+    val polys = SynthData.polygons(spark, dir)
+      .withColumn("geom", st_geomfromtext(col("wkt")))
+      .select("poly_id", "geom")
+    val joined = SpatialJoin.pointsInPolygons(pts, polys, level = 10, broadcastCover = Some(true))
+    joined
+      .withColumn("x", st_tile_x(col("lon"), 6))
+      .withColumn("y", st_tile_y(col("lat"), 6))
+      .groupBy("poly_id", "x", "y").agg(count(lit(1)).as("images"))
+  }
+
+  // ---------- shared synthetic layers (Spark side) ----------
+
+  private def pts(spark: SparkSession, dir: String): DataFrame =
+    SynthData.points(spark, dir)
+  private def polys(spark: SparkSession, dir: String): DataFrame =
+    SynthData.polygons(spark, dir)
+
+  // DuckDB oracle CTE prefix shared by the spatial queries
+  private val P = s"WITH pts AS (${SynthData.ptsCte}), polys AS (${SynthData.polysCte}), " +
+    s"queries AS (${SynthData.queriesCte}) "
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core ----
+    "q01_pricing_agg" -> ((s, dir) => {
+      reg(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          sum(round(col("l_discount") * 10000).cast("long")).as("sum_disc_bp"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_top_customers" -> ((s, dir) => {
+      reg(s)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(desc("revenue_cents"), col("c_custkey"))
+        .limit(10)
+    }),
+    "q03_events_window" -> ((s, dir) => {
+      reg(s)
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("cnt"),
+          col("sum_value_cents"))
+        .orderBy("window_start", "event_type")
+    }),
+    "q04_top_events_per_user" -> ((s, dir) => {
+      reg(s)
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("user_id"), col("event_id"), col("rnk").cast("long").as("rnk"))
+        .orderBy("user_id", "rnk")
+    }),
+
+    // ---- geometry codec family ----
+    "q10_point_wkt" -> ((s, dir) => {
+      reg(s)
+      pts(s, dir)
+        .withColumn("wkt", st_point_wkt(col("lon"), col("lat"), 16))
+        .withColumn("g", st_geomfromtext(col("wkt")))
+        .withColumn("c", st_centroid(col("g")))
+        .select(col("point_id"), col("wkt"), col("c.lon").as("lon2"), col("c.lat").as("lat2"))
+        .orderBy("point_id")
+    }),
+    "q11_poly_centroid" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("c", st_centroid(st_geomfromtext(col("wkt"))))
+        .select(col("poly_id"), col("c.lon").as("clon"), col("c.lat").as("clat"))
+        .orderBy("poly_id")
+    }),
+    "q12_lint" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("wkt2", when(col("poly_id") % 3 === 0,
+          regexp_replace(col("wkt"), "POLYGON", "polygon")).otherwise(col("wkt")))
+        .select(col("poly_id"), st_iswkt(col("wkt2")).as("is_wkt"))
+        .orderBy("poly_id")
+    }),
+    "q13_wkb_roundtrip" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("wkb", st_aswkb(st_geomfromtext(col("wkt"))))
+        .select(col("poly_id"), st_wkb_wkt(col("wkb")).as("wkt_compact"))
+        .orderBy("poly_id")
+    }),
+    "q14_geojson_roundtrip" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("g", st_geomfromtext(col("wkt")))
+        .withColumn("gj", st_asgeojson(col("g")))
+        .withColumn("g2", st_geomfromgeojson(col("gj")))
+        .select(col("poly_id"), st_astext(col("g2"), 0).as("wkt0"))
+        .orderBy("poly_id")
+    }),
+    "q19_group_multipoint" -> ((s, dir) => {
+      reg(s)
+      val sub = pts(s, dir).where(col("point_id") % 53 === 0)
+        .withColumn("gid", col("point_id") % 7)
+      sub.groupBy("gid")
+        .agg(sort_array(collect_list(struct(col("point_id"), col("lon"), col("lat")))).as("ps"))
+        .select(col("gid"),
+          st_multipoint_wkt(expr("transform(ps, p -> array(p.lon, p.lat))"), 16).as("mp_wkt"))
+        .orderBy("gid")
+    }),
+
+    // ---- spatial join / kNN / tiles ----
+    "q15_spatial_join" -> ((s, dir) => {
+      reg(s)
+      val p = polys(s, dir).withColumn("geom", st_geomfromtext(col("wkt")))
+        .select("poly_id", "geom")
+      SpatialJoin.pointsInPolygons(pts(s, dir), p, level = 10, broadcastCover = Some(true))
+        .select("point_id", "poly_id")
+        .orderBy("point_id", "poly_id")
+    }),
+    "q16_spatial_join_salted" -> ((s, dir) => {
+      reg(s)
+      val p = polys(s, dir).withColumn("geom", st_geomfromtext(col("wkt")))
+        .select("poly_id", "geom")
+      SpatialJoin.pointsInPolygonsSalted(pts(s, dir), p, level = 10, salt = 8,
+        sampleFraction = 0.05, hotThreshold = 2000L)
+        .select("point_id", "poly_id")
+        .orderBy("point_id", "poly_id")
+    }),
+    "q17_knn" -> ((s, dir) => {
+      reg(s)
+      Knn.knn(SynthData.knnQueries(s, dir), pts(s, dir), k = 5, level = 7)
+        .select(col("query_id"), col("point_id"), col("rnk").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+    "q18_tiles" -> ((s, dir) => {
+      reg(s)
+      SpatialJoin.tileCounts(pts(s, dir), 6).orderBy("x", "y")
+    }),
+
+    // ---- training-data ops: dedup / similarity / text ----
+    "q20_dedup_exact" -> ((s, dir) => {
+      reg(s)
+      Dedup.exactKeep(
+        t(s, dir, "documents").withColumn("key", substring(col("text"), 1, 16)),
+        "doc_id", "key")
+        .select(md5(col("key")).as("key_md5"), col("keep_id"), col("dupes"))
+        .orderBy("key_md5")
+    }),
+    "q21_text_stats" -> ((s, dir) => {
+      reg(s)
+      t(s, dir, "documents")
+        .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")).cast("long"))
+        .withColumn("n_tokens", (length(col("text")) - col("n_nospace") + 1).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("n_nospace"),
+          floor(col("n_nospace") * 1000.0 / col("n_tokens")).cast("long").as("awl_milli"))
+        .orderBy("doc_id")
+    }),
+    "q22_ann_topk" -> ((s, dir) => {
+      reg(s)
+      val e = t(s, dir, "embeddings")
+      Ann.bruteTopK(e, e.where(col("vec_id") % 100 === 0), k = 10)
+        .select(col("query_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy("query_id", "rnk")
+    }),
+    "q23_minhash_pairs" -> ((s, dir) => {
+      reg(s)
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleW = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard") * 64).cast("long").as("agree64"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q24_simhash_pairs" -> ((s, dir) => {
+      reg(s)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q25_langid" -> ((s, dir) => {
+      reg(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), lang_id(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    "q26_fingerprint" -> ((s, dir) => {
+      reg(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("md5_fp"),
+          doc_fingerprint(col("text"), 16).as("rolling_fp"))
+        .select("doc_id", "md5_fp") // rolling_fp exercised but not emitted (no SQL oracle)
+        .orderBy("doc_id")
+    }),
+    "q27_jaccard_pairs" -> ((s, dir) => {
+      reg(s)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q28_embed_dups" -> ((s, dir) => {
+      reg(s)
+      Ann.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    // integer rect corners rendered as text for the WKT-string oracles
+    val xi = "CAST(x0 AS BIGINT)"; val yi = "CAST(y0 AS BIGINT)"
+    val xw = "CAST(x0 + w AS BIGINT)"; val yh = "CAST(y0 + h AS BIGINT)"
+    def pair(a: String, b: String, sep: String) = s"printf('%d$sep%d', $a, $b)"
+    val ringSpaced = Seq(
+      pair(xi, yi, " "), pair(xw, yi, " "), pair(xw, yh, " "),
+      pair(xi, yh, " "), pair(xi, yi, " ")).mkString(" || ', ' || ")
+    val ringCompact = Seq(
+      pair(xi, yi, " "), pair(xw, yi, " "), pair(xw, yh, " "),
+      pair(xi, yh, " "), pair(xi, yi, " ")).mkString(" || ',' || ")
+
+    Map(
+      "q01_pricing_agg" ->
+        ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+          "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, " +
+          "CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp, " +
+          "count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q02_top_customers" ->
+        ("SELECT c_custkey, c_mktsegment, " +
+          "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+          "count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey LIMIT 10"),
+      "q03_events_window" ->
+        ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt, " +
+          "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents " +
+          "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      "q04_top_events_per_user" ->
+        ("SELECT user_id, event_id, rnk FROM (SELECT user_id, event_id, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk " +
+          "FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk"),
+      "q10_point_wkt" ->
+        (P + "SELECT point_id, 'POINT (' || printf('%.16f', lon) || ' ' || printf('%.16f', lat) || ')' AS wkt, " +
+          "CAST(printf('%.16f', lon) AS DOUBLE) AS lon2, CAST(printf('%.16f', lat) AS DOUBLE) AS lat2 " +
+          "FROM pts ORDER BY point_id"),
+      "q11_poly_centroid" ->
+        (P + "SELECT poly_id, (5.0 * x0 + 2.0 * w) / 5.0 AS clon, (5.0 * y0 + 2.0 * h) / 5.0 AS clat " +
+          "FROM polys ORDER BY poly_id"),
+      "q12_lint" ->
+        (P + "SELECT poly_id, poly_id % 3 <> 0 AS is_wkt FROM polys ORDER BY poly_id"),
+      "q13_wkb_roundtrip" ->
+        (P + s"SELECT poly_id, 'POLYGON((' || $ringCompact || '))' AS wkt_compact " +
+          "FROM polys ORDER BY poly_id"),
+      "q14_geojson_roundtrip" ->
+        (P + s"SELECT poly_id, 'POLYGON ((' || $ringSpaced || '))' AS wkt0 " +
+          "FROM polys ORDER BY poly_id"),
+      "q19_group_multipoint" ->
+        (P + "SELECT point_id % 7 AS gid, 'MULTIPOINT (' || string_agg(" +
+          "'(' || printf('%.16f', lon) || ' ' || printf('%.16f', lat) || ')', ', ' ORDER BY point_id) || ')' AS mp_wkt " +
+          "FROM pts WHERE point_id % 53 = 0 GROUP BY 1 ORDER BY gid"),
+      "q15_spatial_join" ->
+        (P + "SELECT p.point_id, y.poly_id FROM pts p JOIN polys y ON " +
+          "p.lon > y.x0 AND p.lon < y.x0 + y.w AND p.lat > y.y0 AND p.lat < y.y0 + y.h " +
+          "ORDER BY p.point_id, y.poly_id"),
+      "q16_spatial_join_salted" ->
+        (P + "SELECT p.point_id, y.poly_id FROM pts p JOIN polys y ON " +
+          "p.lon > y.x0 AND p.lon < y.x0 + y.w AND p.lat > y.y0 AND p.lat < y.y0 + y.h " +
+          "ORDER BY p.point_id, y.poly_id"),
+      "q17_knn" ->
+        (P + "SELECT query_id, point_id, rnk FROM (SELECT q.query_id, p.point_id, " +
+          "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+          "(q.qlon - p.lon) * (q.qlon - p.lon) + (q.qlat - p.lat) * (q.qlat - p.lat), p.point_id) AS rnk " +
+          "FROM queries q CROSS JOIN pts p) WHERE rnk <= 5 ORDER BY query_id, rnk"),
+      "q18_tiles" ->
+        (P + "SELECT 6 AS z, CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS x, " +
+          "CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 64.0) AS BIGINT) AS y, " +
+          "count(*) AS cnt FROM pts GROUP BY 1, 2, 3 ORDER BY x, y"),
+      "q20_dedup_exact" ->
+        ("SELECT md5(substr(text, 1, 16)) AS key_md5, min(doc_id) AS keep_id, count(*) AS dupes " +
+          "FROM documents GROUP BY substr(text, 1, 16) ORDER BY key_md5"),
+      "q21_text_stats" ->
+        ("SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, " +
+          "length(replace(text, ' ', '')) AS n_nospace, " +
+          "CAST(floor(length(replace(text, ' ', '')) * 1000.0 / " +
+          "(length(text) - length(replace(text, ' ', '')) + 1)) AS BIGINT) AS awl_milli " +
+          "FROM documents ORDER BY doc_id"),
+      "q22_ann_topk" ->
+        ("WITH ev AS (SELECT vec_id, j, floor(CAST(embedding[j] AS DOUBLE) * 1000.0) AS x " +
+          "FROM embeddings, generate_series(1, 64) t(j)), " +
+          "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+          "SUM((q.x - c.x) * (q.x - c.x)) AS dist2 FROM ev q JOIN ev c " +
+          "ON q.j = c.j AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id GROUP BY 1, 2) " +
+          "SELECT query_id, vec_id, rnk, CAST(dist2 AS BIGINT) AS dist2 FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rnk FROM pairs) " +
+          "WHERE rnk <= 10 ORDER BY query_id, rnk"),
+      "q26_fingerprint" ->
+        ("SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id"),
+      "q27_jaccard_pairs" ->
+        ("WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk FROM documents), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), " +
+          "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM tok a " +
+          "JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+          "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9 ORDER BY id_a, id_b"),
+      "q28_embed_dups" ->
+        ("WITH ev AS (SELECT vec_id, j, floor(CAST(embedding[j] AS DOUBLE) * 1000.0) AS x " +
+          "FROM embeddings, generate_series(1, 64) t(j)), " +
+          "m AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot, " +
+          "SUM(a.x * a.x) AS na2_part FROM ev a JOIN ev b ON a.j = b.j AND a.vec_id < b.vec_id GROUP BY 1, 2), " +
+          "n AS (SELECT vec_id, SUM(x * x) AS n2 FROM ev GROUP BY 1) " +
+          "SELECT id_a, id_b FROM m JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b " +
+          "WHERE dot > 0 AND dot * dot >= 0.4 * 0.4 * x.n2 * y.n2 ORDER BY id_a, id_b")
+      // q23_minhash_pairs / q24_simhash_pairs / q25_langid: custom seeded
+      // hashing / heuristics, not SQL-expressible -> rows-only check.
+    )
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cell-equijoin spatial join (north_star: "broadcast-or-shuffled
+  * cell-equijoin followed by exact ray-casting point-in-polygon refinement").
+  *
+  * Plan shape (all narrow except the single equijoin shuffle):
+  *
+  *   polys ──st_cover(geom, L)──explode──▸ (poly cols, cell, full, rings)
+  *   points ──st_cell_ancestors(lon,lat,L)──explode──▸ (point cols, cell)
+  *   join on cell  [broadcast when the cover side is small, else
+  *                  shuffle + AQE skew split; optional hot-cell salting]
+  *   filter full OR st_contains_rings(rings, lon, lat)
+  *
+  * Because the quadtree cover is DISJOINT (graft.core.CellIndex.cover), a
+  * point's ancestor chain meets each polygon's cover in at most one cell —
+  * the join emits each (point, polygon) candidate exactly once and needs NO
+  * dropDuplicates shuffle afterwards. `full` cells skip the ray-cast.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - the cover side is |polys| × O(cells) rows of (long, bool, rings) —
+  *    broadcast it whenever it fits (`broadcast = Some(true)`);
+  *  - the point side explodes to (maxLevel+1) rows per point but is joined
+  *    immediately (no materialization) and whole-stage codegen fuses
+  *    explode+join probe;
+  *  - for huge polygon layers the equijoin shuffles both sides hashed by
+  *    cell; AQE skew-join splits oversized partitions, and
+  *    [[saltedJoin]] additionally spreads identified hot cells over S salt
+  *    buckets (north_rule: "skew handled explicitly").
+  */
+object SpatialJoin {
+
+  /** Explode a polygon layer (must carry `geom`) into its cover cells. */
+  def coverSide(polys: DataFrame, level: Int): DataFrame =
+    polys
+      .withColumn("rings", st_rings(col("geom")))
+      .withColumn("cov", explode(st_cover(col("geom"), level)))
+      .withColumn("cell", col("cov.cell"))
+      .withColumn("full", col("cov.full"))
+      .drop("cov", "geom")
+
+  /** points(pointCols..., lon, lat) ⋈ polys(polyCols..., geom) -> matches.
+    *
+    * @param broadcastCover Some(true) to force broadcast of the cover side,
+    *   Some(false) to force shuffle, None = let Catalyst/AQE decide. */
+  def pointsInPolygons(
+      points: DataFrame,
+      polys: DataFrame,
+      level: Int = 12,
+      broadcastCover: Option[Boolean] = None): DataFrame = {
+    val cover0 = coverSide(polys, level)
+    val cover = broadcastCover match {
+      case Some(true)  => broadcast(cover0)
+      case _           => cover0
+    }
+    val pts = points.withColumn("cell",
+      explode(st_cell_ancestors(col("lon"), col("lat"), level)))
+    pts.join(cover, "cell")
+      .where(col("full") || st_contains_rings(col("rings"), col("lon"), col("lat")))
+      .drop("cell", "full", "rings")
+  }
+
+  /** Skew-resistant variant: identifies hot cover cells from a point-side
+    * sample, splits the join into a salted hot part (cover rows replicated
+    * S ways, points hashed into one salt bucket) and a plain cold part.
+    * Result set is identical to [[pointsInPolygons]]. */
+  def pointsInPolygonsSalted(
+      points: DataFrame,
+      polys: DataFrame,
+      level: Int = 12,
+      salt: Int = 8,
+      sampleFraction: Double = 0.01,
+      hotThreshold: Long = 10000L): DataFrame = {
+    val cover = coverSide(polys, level).cache()
+    val pts = points.withColumn("cell",
+      explode(st_cell_ancestors(col("lon"), col("lat"), level)))
+
+    // cheap pre-pass: sampled per-cell probe counts -> hot cell set
+    val hotCells = pts.sample(sampleFraction)
+      .join(cover.select("cell"), "cell")
+      .groupBy("cell").count()
+      .where(col("count") >= math.max(1L, (hotThreshold * sampleFraction).toLong))
+      .select("cell").collect().map(_.getLong(0)).toSet
+    val hotLit = typedLit(hotCells.toSeq)
+
+    val refined = (df: DataFrame) => df
+      .where(col("full") || st_contains_rings(col("rings"), col("lon"), col("lat")))
+      .drop("cell", "full", "rings", "salt")
+
+    if (hotCells.isEmpty) {
+      refined(pts.join(cover, "cell"))
+    } else {
+      val coldJoin = pts.where(!col("cell").isin(hotCells.toSeq: _*))
+        .join(cover.where(!col("cell").isin(hotCells.toSeq: _*)), "cell")
+      val hotPts = pts.where(col("cell").isin(hotCells.toSeq: _*))
+        .withColumn("salt", pmod(hash(col("point_id")), lit(salt)))
+      val hotCover = cover.where(col("cell").isin(hotCells.toSeq: _*))
+        .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+      val hotJoin = hotPts.join(hotCover, Seq("cell", "salt"))
+      refined(coldJoin).unionByName(refined(hotJoin))
+    }
+  }
+
+  /** Z/X/Y tile assignment of points at zoom z (footprint-level; the decoded
+    * pixel-block variant lives in graft.operators.Images). */
+  def tileCounts(points: DataFrame, z: Int): DataFrame =
+    points
+      .withColumn("x", st_tile_x(col("lon"), z))
+      .withColumn("y", st_tile_y(col("lat"), z))
+      .groupBy(lit(z).as("z"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+}
