@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.operators.SpatialJoin
+import graft.sources.{Snapshots, SynthData}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The spark-submit-able flagship job (north_rule): spatial-join +
+  * raster-tile assignment over the image+caption table.
+  *
+  *   prepare: synthesize the images table (REAL encoded bytes via
+  *            javax.imageio) + polygon layer once, write to Parquet.
+  *   run:     read the prepared tables and execute
+  *            WKT parse (once) -> centroid -> cell ancestors
+  *            polygons -> disjoint quadtree cover
+  *            cell equijoin (broadcast cover) -> ray-cast refinement
+  *            image decode -> 8x8 pixel-block -> Z/X/Y tile explode
+  *            groupBy(z,x,y) tile aggregation
+  *            write with per-partition lineage snapshot (resumable).
+  *
+  * Usage: Pipeline prepare <sfDir> <workDir>
+  *        Pipeline run <workDir> [zoom] [level]
+  */
+object Pipeline {
+
+  /** Images table with real encoded bytes + WKT footprint. */
+  def prepareImages(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    SynthData.images(spark, sfDir)
+      .withColumn("bytes", image_synth(struct(col("image_id"), col("w"), col("h"), col("fmt"))))
+      .withColumn("footprint_wkt", st_point_wkt(col("lon"), col("lat"), 16))
+      .select("image_id", "point_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "footprint_wkt")
+  }
+
+  def prepare(spark: SparkSession, sfDir: String, workDir: String): Unit = {
+    GraftFunctions.register(spark)
+    prepareImages(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(s"$workDir/images")
+    SynthData.polygons(spark, sfDir)
+      .select("poly_id", "wkt")
+      .write.mode(SaveMode.Overwrite).parquet(s"$workDir/polygons")
+  }
+
+  /** The measured job. Returns (output row count, input image count). */
+  def run(spark: SparkSession, workDir: String, zoom: Int = 8, level: Int = 10,
+          snapshotId: Long = 1L): (Long, Long) = {
+    GraftFunctions.register(spark)
+    val images = spark.read.parquet(s"$workDir/images")
+    val nImages = images.count()
+
+    // geometry frontend: WKT parsed ONCE into the struct, centroid reused
+    val pts = images
+      .withColumn("g", st_geomfromtext(col("footprint_wkt")))
+      .withColumn("c", st_centroid(col("g")))
+      .withColumn("lon", col("c.lon")).withColumn("lat", col("c.lat"))
+      .drop("g", "c", "footprint_wkt")
+
+    val polys = spark.read.parquet(s"$workDir/polygons")
+      .withColumn("geom", st_geomfromtext(col("wkt")))
+      .select("poly_id", "geom")
+
+    val joined = SpatialJoin.pointsInPolygons(pts, polys, level = level,
+      broadcastCover = Some(true))
+
+    // raster-tile assignment: decode pixels, map 8x8 blocks of the image's
+    // footprint bbox (centroid +- half a pixel-degree extent) to tiles
+    val tiles = joined
+      .withColumn("half_w", col("w").cast("double") / 2.0 / 1000.0)
+      .withColumn("half_h", col("h").cast("double") / 2.0 / 1000.0)
+      .withColumn("px", image_decode(col("bytes")))
+      .withColumn("tb", explode(image_tile_blocks(struct(
+        (col("lon") - col("half_w")).as("lon_min"),
+        (col("lat") - col("half_h")).as("lat_min"),
+        (col("lon") + col("half_w")).as("lon_max"),
+        (col("lat") + col("half_h")).as("lat_max"),
+        col("px.w"), col("px.h"), lit(zoom).as("z"), lit(8).as("block")))))
+      .select(col("poly_id"), col("image_id"), col("caption"),
+        lit(zoom).as("z"), col("tb.tx").as("x"), col("tb.ty").as("y"),
+        col("tb.px_count").as("px_count"))
+
+    val agg = tiles.groupBy("z", "x", "y")
+      .agg(count(lit(1)).as("assignments"),
+        sum(col("px_count")).as("pixels"),
+        approx_count_distinct(col("image_id")).as("n_images"))
+
+    Snapshots.writeSnapshot(spark, agg, s"$workDir/tile_stats",
+      snapshotId, nParts = 8, keyCol = "x", operation = "tile-assign")
+    val out = Snapshots.readData(spark, s"$workDir/tile_stats").count()
+    (out, nImages)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try args(0) match {
+      case "prepare" => prepare(spark, args(1), args(2))
+      case "run" =>
+        val t0 = System.nanoTime()
+        val (out, n) = run(spark, args(1),
+          zoom = if (args.length > 2) args(2).toInt else 8,
+          level = if (args.length > 3) args(3).toInt else 10)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"stage":"run","images":$n,"tiles":$out,"sec":$sec%.3f,"rows_per_sec":${n / sec}%.1f}""")
+      case other => sys.error(s"unknown mode $other")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** End-to-end st_* function checks on real DataFrames (registry, struct
+  * encoding, null handling, SQL-text invocation). */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parse -> write round trip on a DataFrame incl. nulls") {
+    val df = Seq(
+      ("POINT (-116.4 45.2)"),
+      ("POLYGON ((100 1, 104 2, 101 3, 100 1), (100 1, 103 2, 101 5, 100 1))"),
+      ("MULTIPOLYGON (((40 40, 20 45, 45 30, 40 40)))"),
+      (null: String)
+    ).toDF("wkt")
+    val out = df.select(st_astext(st_try_geomfromtext($"wkt"), 1).as("w2")).collect()
+    assert(out(0).getString(0) == "POINT (-116.4   45.2)") // dump_point pads to common width
+    assert(out(1).getString(0).startsWith("POLYGON ((100.0 1.0, "))
+    assert(out(3).isNullAt(0))
+  }
+
+  test("st_* callable from SQL text") {
+    val r = spark.sql(
+      "SELECT st_iswkt('POINT (1 2)') AS a, st_iswkt('point (1 2)') AS b, " +
+        "st_astext(st_geomfromtext('LINESTRING (0 1, 2 3)'), 0) AS c").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == "LINESTRING (0 1, 2 3)")
+  }
+
+  test("centroid / wkb / geojson / properties on DataFrames") {
+    val df = Seq("MULTIPOINT ((100.000 3.101), (101.000 2.100), (3.140 2.180))").toDF("wkt")
+      .withColumn("g", st_geomfromtext($"wkt"))
+    val c = df.select(st_centroid($"g")).collect()(0).getStruct(0)
+    assert(math.abs(c.getDouble(0) - (100.0 + 101.0 + 3.14) / 3) < 1e-12)
+    val wkb = df.select(st_wkb_wkt(st_aswkb($"g"))).collect()(0).getString(0)
+    assert(wkb == "MULTIPOINT(100 3.101,101 2.1,3.14 2.18)")
+    val gj = df.select(st_asgeojson($"g")).collect()(0).getString(0)
+    assert(gj.contains("\"type\":\"Feature\"") && gj.contains("\"MultiPoint\""))
+    val withProps = df.select(st_properties(st_asgeojson($"g"),
+      lit("""{"color":"red"}"""), lit(null).cast("string"))).collect()(0).getString(0)
+    assert(withProps.contains("\"properties\""))
+    assert(withProps.contains("\"color\":\"red\""))
+    val fc = df.select(st_as_featurecollection(st_asgeojson($"g"))).collect()(0).getString(0)
+    assert(fc.startsWith("{\"type\":\"FeatureCollection\""))
+  }
+
+  test("constructor family over columns") {
+    val df = Seq((Seq(Seq(100.0, 3.101), Seq(101.0, 2.1), Seq(3.14, 2.18)))).toDF("pts")
+    assert(df.select(st_multipoint_wkt($"pts", 0)).collect()(0).getString(0) ==
+      "MULTIPOINT ((100.000 3.101), (101.0 2.1), (3.14 2.18))")
+    assert(df.select(st_linestring_wkt($"pts", 0)).collect()(0).getString(0) ==
+      "LINESTRING (100.000 3.101, 101.0 2.1, 3.14 2.18)")
+    val gc = Seq(Seq("POINT (1 2)", "LINESTRING (0 1, 2 3)")).toDF("ws")
+    assert(gc.select(st_collect_wkt($"ws")).collect()(0).getString(0) ==
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 1, 2 3))")
+  }
+
+  test("numeric=FALSE geojson path formats coordinates as strings") {
+    val df = Seq("POINT (-116.4 45.2)").toDF("wkt")
+    val s = df.select(st_asgeojson(st_geomfromtext($"wkt"), feature = true,
+      numeric = false, fmt = 2)).collect()(0).getString(0)
+    assert(s.contains("\"-116.40\"") && s.contains("\"45.20\""))
+  }
+
+  test("text expressions: minhash/simhash/langid/fingerprint") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away quickly"),
+      (3L, "der schnelle braune fuchs springt und das ist ein ganz anderer satz")
+    ).toDF("id", "text")
+    val rows = df.select($"id", minhash($"text", 64, 3).as("mh"), simhash($"text").as("sh"),
+      lang_id($"text").as("lang"), doc_fingerprint($"text", 8).as("fp")).collect()
+    val mh1 = rows(0).getSeq[Long](1); val mh2 = rows(1).getSeq[Long](1)
+    val agree = mh1.zip(mh2).count { case (a, b) => a == b }
+    assert(agree > 32, s"near-identical docs should agree on most minhashes, got $agree/64")
+    val h12 = java.lang.Long.bitCount(rows(0).getLong(2) ^ rows(1).getLong(2))
+    val h13 = java.lang.Long.bitCount(rows(0).getLong(2) ^ rows(2).getLong(2))
+    assert(h12 < h13, "simhash distance should order near-dup < unrelated")
+    assert(rows(0).getString(3) == "en" && rows(2).getString(3) == "de")
+    assert(rows(0).getLong(4) != rows(2).getLong(4))
+  }
+}

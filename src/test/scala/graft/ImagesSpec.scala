@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.Images
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Image payload invariants (BASELINE.json input_hint): decoded-pixel exact
+  * for lossless fmt, PSNR >= 40 dB for JPEG, caption equality through the
+  * pipeline; plus pixel-block tile assignment and snapshot/lineage resume. */
+class ImagesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lossless round trip is pixel-exact; JPEG PSNR >= 40 dB") {
+    for (fmt <- Seq("png", "bmp")) {
+      val img = Images.render("img-x1", 48, 32)
+      val back = Images.decode(Images.encode(img, fmt))
+      assert(Images.psnr(img, back).isInfinity, s"$fmt must be lossless")
+    }
+    val img = Images.render("img-x2", 64, 48)
+    val p = Images.psnr(img, Images.decode(Images.encode(img, "jpg")))
+    assert(p >= 40.0, s"JPEG PSNR $p below 40 dB")
+  }
+
+  test("image expressions over a DataFrame: synth/decode/psnr/phash") {
+    val df = (1 to 20).map(i => (s"img-$i", 32, 24, if (i % 2 == 0) "png" else "jpg"))
+      .toDF("image_id", "w", "h", "fmt")
+      .withColumn("bytes", image_synth(struct($"image_id", $"w", $"h", $"fmt")))
+    val dec = df.withColumn("px", image_decode($"bytes"))
+      .select($"image_id", $"fmt", $"px.w".as("dw"), $"px.h".as("dh"),
+        image_psnr($"bytes", $"bytes").as("self_psnr"),
+        image_phash($"bytes").as("ph"))
+      .collect()
+    dec.foreach { r =>
+      assert(r.getInt(2) == 32 && r.getInt(3) == 24)
+      assert(r.getDouble(4) == 999.0)
+    }
+    // phash of same content encoded differently should be close
+    val ph = (1 to 5).map { i =>
+      val png = Images.phash(Images.decode(Images.synthBytes(s"img-$i", 32, 24, "png")))
+      val jpg = Images.phash(Images.decode(Images.synthBytes(s"img-$i", 32, 24, "jpg")))
+      java.lang.Long.bitCount(png ^ jpg)
+    }
+    assert(ph.forall(_ <= 6), s"phash png-vs-jpg hamming too big: $ph")
+  }
+
+  test("pixel-block tile assignment covers the footprint and conserves pixels") {
+    val df = Seq(("img-t", 64, 48, "png")).toDF("image_id", "w", "h", "fmt")
+      .withColumn("bytes", image_synth(struct($"image_id", $"w", $"h", $"fmt")))
+      .withColumn("px", image_decode($"bytes"))
+      .withColumn("tb", explode(image_tile_blocks(struct(
+        lit(10.0).as("lon_min"), lit(40.0).as("lat_min"),
+        lit(10.4).as("lon_max"), lit(40.3).as("lat_max"),
+        $"px.w", $"px.h", lit(12).as("z"), lit(8).as("block")))))
+      .select($"tb.tx", $"tb.ty", $"tb.px_count")
+    val rows = df.collect()
+    assert(rows.map(_.getInt(2)).sum == 64 * 48, "pixel counts must sum to w*h")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length > 1,
+      "footprint should span multiple tiles at z=12")
+  }
+
+  test("full pipeline on sf0.001 produces joined tile stats (entry contract)") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+  }
+
+  test("snapshot write + lineage + idempotent resume") {
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val m1 = Snapshots.writeSnapshot(spark, df, s"$dir/t", snapshotId = 1L,
+      nParts = 4, keyCol = "k")
+    assert(m1.map(_.rowCount).sum == 1000)
+    assert(Snapshots.currentSnapshot(s"$dir/t").contains(1L))
+    assert(Snapshots.readData(spark, s"$dir/t").count() == 1000)
+    // resume same snapshot: all partitions already committed -> no-op
+    val m2 = Snapshots.writeSnapshot(spark, df, s"$dir/t", snapshotId = 1L,
+      nParts = 4, keyCol = "k")
+    assert(m2.isEmpty, "resume must skip committed partitions")
+    assert(Snapshots.readData(spark, s"$dir/t").count() == 1000)
+    // partial-failure simulation: pre-commit 2 of 4 partitions for snapshot 2
+    val m3 = Snapshots.writeSnapshot(spark, df, s"$dir/t2", snapshotId = 2L,
+      nParts = 2, keyCol = "k")
+    assert(Snapshots.readPartitionMeta(spark, s"$dir/t2")
+      .where(col("snapshot_id") === 2).count() == 2)
+    // lineage hash is content-derived and stable
+    val m4meta = Snapshots.readPartitionMeta(spark, s"$dir/t")
+      .orderBy("part_id").collect().map(_.getLong(3))
+    assert(m4meta.length == 4 && m4meta.toSet.size >= 3)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.core.{RayCast, WktParser}
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Dedup, Knn, SpatialJoin}
+import org.apache.spark.sql.functions._
+
+/** Operator-level correctness: spatial join vs an O(n*m) brute-force oracle
+  * on NON-rectangular polygons with holes, salted == plain, kNN vs brute
+  * force, LSH ANN recall. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val polyWkts = Seq(
+    (1L, "POLYGON ((10 10, 40 12, 42 38, 12 40, 10 10), (20 20, 30 20, 30 30, 20 30, 20 20))"),
+    (2L, "MULTIPOLYGON (((-60 -20, -40 -25, -35 -5, -55 0, -60 -20)), ((70 50, 85 52, 83 64, 71 60, 70 50)))"),
+    (3L, "POLYGON ((-10 -10, 15 -12, 18 14, -8 12, -10 -10))"), // overlaps poly 1 region
+    (4L, "POLYGON ((100 -80, 170 -80, 170 -10, 100 -10, 100 -80))")) // large -> coarse cells
+
+  private def randomPoints(n: Int) = {
+    val rnd = new scala.util.Random(77)
+    (0 until n).map(i => (i.toLong,
+      rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 160 - 80))
+  }
+
+  test("spatial join == brute-force ray-cast oracle (holes, multipolygons)") {
+    val pts = randomPoints(4000)
+    val ptsDf = pts.toDF("point_id", "lon", "lat")
+    val polysDf = polyWkts.toDF("poly_id", "wkt")
+      .withColumn("geom", st_geomfromtext($"wkt")).select("poly_id", "geom")
+
+    val got = SpatialJoin.pointsInPolygons(ptsDf, polysDf, level = 9)
+      .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+
+    val geoms = polyWkts.map { case (id, w) => (id, WktParser.parse(w)) }
+    val want = (for {
+      (pid, lon, lat) <- pts
+      (gid, g) <- geoms
+      if RayCast.contains(g, lon, lat)
+    } yield (pid, gid)).toSet
+    assert(got == want, s"diff: got-want=${(got -- want).take(5)} want-got=${(want -- got).take(5)}")
+    assert(want.nonEmpty)
+  }
+
+  test("salted spatial join result identical to plain") {
+    val pts = randomPoints(3000).toDF("point_id", "lon", "lat")
+    val polysDf = polyWkts.toDF("poly_id", "wkt")
+      .withColumn("geom", st_geomfromtext($"wkt")).select("poly_id", "geom")
+    val plain = SpatialJoin.pointsInPolygons(pts, polysDf, level = 9)
+      .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+    val salted = SpatialJoin.pointsInPolygonsSalted(pts, polysDf, level = 9,
+      salt = 4, sampleFraction = 0.2, hotThreshold = 50L)
+      .select("point_id", "poly_id").as[(Long, Long)].collect().toSet
+    assert(plain == salted)
+  }
+
+  test("expanding k-ring kNN == brute force") {
+    val pts = randomPoints(3000).toDF("point_id", "lon", "lat")
+    val qs = (0 until 20).map(i => (i.toLong, (i * 37 % 340) - 170.0 + 0.3, (i * 53 % 160) - 80.0 + 0.7))
+      .toDF("query_id", "qlon", "qlat")
+    val fast = Knn.knn(qs, pts, k = 7, level = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Knn.knnBrute(qs, pts, k = 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast == brute)
+    assert(brute.size == 20 * 7)
+  }
+
+  test("kNN with k larger than point count falls back to brute force") {
+    val pts = randomPoints(5).toDF("point_id", "lon", "lat")
+    val qs = Seq((0L, 0.0, 0.0)).toDF("query_id", "qlon", "qlat")
+    val out = Knn.knn(qs, pts, k = 9, level = 6).collect()
+    assert(out.length == 5)
+  }
+
+  test("exact dedup keeps smallest id per key") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa")).toDF("id", "k")
+    val kept = Dedup.exactKeep(df, "id", "k").as[(String, Long, Long)].collect()
+      .map { case (k, keep, n) => k -> ((keep, n)) }.toMap
+    assert(kept("aa") == ((1L, 3L)))
+    val dropped = Dedup.dropExact(df, "id", "k").select("id").as[Long].collect().toSet
+    assert(dropped == Set(1L, 2L))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"token$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, (100 to 160).map(i => s"other$i").mkString(" "))) ++
+      (10 to 40).map(i => (i.toLong, (i to i + 50).map(j => s"w${j * 7 % 97}").mkString(" ")))
+    val pairs = Dedup.minhashPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("ANN LSH top-k achieves high recall vs brute force") {
+    // clustered embeddings (LSH's applicability regime): 20 centers + noise
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.1f - 0.05f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" % 80 === 0)
+    val brute = Ann.bruteTopK(vecs, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(vecs, queries, k = 10, nBits = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+}
