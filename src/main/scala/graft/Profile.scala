@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val work = args(0)
+    val cores = args(1).toInt
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        val cpu = si.taskMetrics.executorCpuTime / 1e9
+        val run = si.taskMetrics.executorRunTime / 1e3
+        val gc = si.taskMetrics.jvmGCTime / 1e3
+        println(f"[stage-$cores] id=${si.stageId}%3d tasks=${si.numTasks}%4d wall=$wall%7.2fs cpu=$cpu%7.1fs run=$run%7.1fs gc=$gc%6.1fs ${si.name.take(60)}")
+      }
+    })
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(s"$work/tile_stats"))
+    val t0 = System.nanoTime()
+    val (out, n) = Pipeline.run(spark, work)
+    println(f"[total-$cores] ${(System.nanoTime() - t0) / 1e9}%.2f s  images=$n tiles=$out")
+    spark.stop()
+  }
+}

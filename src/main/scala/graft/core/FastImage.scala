@@ -1,0 +1,168 @@
+package graft.core
+
+import java.util.zip.Inflater
+
+/** Allocation- and lock-frugal decoders for the two lossless formats the
+  * engine produces (javax.imageio writes PNG color-type 2 / bit-depth 8 /
+  * non-interlaced, and 24-bpp uncompressed bottom-up BMP).
+  *
+  * Why not ImageIO: profiling the 32-core pipeline showed executor threads
+  * serializing on three GLOBAL locks inside the stock path —
+  * sun.java2d.Disposer (stream cache), java.lang.ref.Finalizer.register
+  * (ImageInputStreamImpl), and jdk.internal.ref.PhantomCleanable (a new
+  * java.util.zip.Inflater per PNGImageReader.read). This decoder reuses one
+  * Inflater per thread (reset between images) and touches no shared state.
+  *
+  * Returns null for anything unsupported (caller falls back to ImageIO —
+  * e.g. JPEG, whose reader is reused per-thread and registers nothing per
+  * image).
+  */
+object FastImage {
+
+  final case class Decoded(w: Int, h: Int, pixels: Array[Int])
+
+  private val localInflater = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  @inline private def i32be(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  @inline private def i32le(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  @inline private def i16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  def decode(bytes: Array[Byte]): Decoded = {
+    if (bytes.length > 8 && u8(bytes, 0) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+    else if (bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else null
+  }
+
+  /** PNG: color type 2 (truecolor), bit depth 8, no interlace. */
+  def decodePng(bytes: Array[Byte]): Decoded = {
+    var pos = 8
+    var w = 0; var h = 0
+    var idat: Array[Byte] = null
+    var idatLen = 0
+    while (pos + 8 <= bytes.length) {
+      val len = i32be(bytes, pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataAt = pos + 8
+      typ match {
+        case "IHDR" =>
+          w = i32be(bytes, dataAt); h = i32be(bytes, dataAt + 4)
+          val bitDepth = u8(bytes, dataAt + 8)
+          val colorType = u8(bytes, dataAt + 9)
+          val interlace = u8(bytes, dataAt + 12)
+          if (bitDepth != 8 || colorType != 2 || interlace != 0) return null
+          idat = new Array[Byte](bytes.length) // upper bound on compressed size
+        case "IDAT" =>
+          System.arraycopy(bytes, dataAt, idat, idatLen, len)
+          idatLen += len
+        case "IEND" =>
+          return inflateAndUnfilter(idat, idatLen, w, h)
+        case _ => // skip ancillary chunks
+      }
+      pos = dataAt + len + 4 // skip CRC
+    }
+    null
+  }
+
+  private def inflateAndUnfilter(idat: Array[Byte], idatLen: Int, w: Int, h: Int): Decoded = {
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = localInflater.get()
+    inf.reset()
+    inf.setInput(idat, 0, idatLen)
+    var off = 0
+    while (off < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      if (n == 0 && inf.needsInput()) return null // truncated
+      off += n
+    }
+    if (off < raw.length) return null
+
+    val px = new Array[Int](w * h)
+    val prev = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    var rp = 0
+    while (y < h) {
+      val filter = raw(rp) & 0xff
+      rp += 1
+      System.arraycopy(raw, rp, cur, 0, stride)
+      rp += stride
+      filter match {
+        case 0 => // None
+        case 1 => // Sub
+          var i = 3
+          while (i < stride) { cur(i) = (cur(i) + cur(i - 3)).toByte; i += 1 }
+        case 2 => // Up
+          var i = 0
+          while (i < stride) { cur(i) = (cur(i) + prev(i)).toByte; i += 1 }
+        case 3 => // Average
+          var i = 0
+          while (i < stride) {
+            val a = if (i >= 3) cur(i - 3) & 0xff else 0
+            val b = prev(i) & 0xff
+            cur(i) = (cur(i) + ((a + b) >> 1)).toByte
+            i += 1
+          }
+        case 4 => // Paeth
+          var i = 0
+          while (i < stride) {
+            val a = if (i >= 3) cur(i - 3) & 0xff else 0
+            val b = prev(i) & 0xff
+            val c = if (i >= 3) prev(i - 3) & 0xff else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            cur(i) = (cur(i) + pred).toByte
+            i += 1
+          }
+        case _ => return null
+      }
+      var x = 0
+      val rowBase = y * w
+      while (x < w) {
+        val i = x * 3
+        px(rowBase + x) = ((cur(i) & 0xff) << 16) | ((cur(i + 1) & 0xff) << 8) | (cur(i + 2) & 0xff)
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Decoded(w, h, px)
+  }
+
+  /** BMP: 24-bpp uncompressed, BITMAPINFOHEADER, bottom-up rows padded to 4. */
+  def decodeBmp(bytes: Array[Byte]): Decoded = {
+    val dataOffset = i32le(bytes, 10)
+    val headerSize = i32le(bytes, 14)
+    if (headerSize < 40) return null
+    val w = i32le(bytes, 18)
+    val hRaw = i32le(bytes, 22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val bpp = i16le(bytes, 28)
+    val compression = i32le(bytes, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return null
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (dataOffset + rowSize * h > bytes.length) return null
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      var p = dataOffset + srcRow * rowSize
+      val rowBase = y * w
+      var x = 0
+      while (x < w) {
+        px(rowBase + x) = ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 1) & 0xff) << 8) | (bytes(p) & 0xff)
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w, h, px)
+  }
+}

@@ -140,8 +140,54 @@ object WktParser {
       throw new IllegalArgumentException(s"no WKT loader for type $other")
   }
 
+  /** Zero-regex fast path for the hot case (POINT footprints at web scale):
+    * hand-rolled scan that accepts exactly the inputs whose tolerant-path
+    * result it reproduces — keyword (any case), optional parens/whitespace,
+    * 2..4 plain numeric tokens, optional trailing commas. Anything else
+    * (letters, interior commas, exponents-with-letters ambiguity) returns
+    * null and the caller falls back to the R-faithful slow path. */
+  private def fastPoint(s: String): Geom = {
+    val n = s.length
+    var i = 0
+    while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i + 5 > n) return null
+    var k = 0
+    while (k < 5) {
+      if (Character.toUpperCase(s.charAt(i + k)) != "POINT".charAt(k)) return null
+      k += 1
+    }
+    i += 5
+    val coords = new Array[Double](4)
+    var cnt = 0
+    var tokStart = -1
+    var sawComma = false
+    while (i <= n) {
+      val c = if (i < n) s.charAt(i) else ' '
+      val isNumChar = (c >= '0' && c <= '9') || c == '.' || c == '+' || c == '-'
+      if (isNumChar) {
+        if (sawComma) return null // token after comma: not a simple point
+        if (tokStart < 0) tokStart = i
+      } else {
+        if (tokStart >= 0) {
+          if (cnt >= 4) return null
+          try coords(cnt) = java.lang.Double.parseDouble(s.substring(tokStart, i))
+          catch { case _: NumberFormatException => return null }
+          cnt += 1
+          tokStart = -1
+        }
+        if (c == ',') sawComma = true
+        else if (!(c == '(' || c == ')' || Character.isWhitespace(c))) return null
+      }
+      i += 1
+    }
+    if (cnt < 2) return null
+    Geom.point(Vector.tabulate(cnt)(coords(_)))
+  }
+
   /** `wkt2geojson` dispatch (reference R/wkt2geojson.R:82-94). */
   def parse(wkt: String): Geom = {
+    val fp = fastPoint(wkt)
+    if (fp != null) return fp
     val t = getType(wkt, ignoreCase = true)
     if (t.length != 1)
       throw new IllegalArgumentException(

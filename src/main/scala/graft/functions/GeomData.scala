@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.core.{Geom, GeomType}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -42,8 +42,8 @@ object GeomData {
     new GenericArrayData(c.map { poly =>
       new GenericArrayData(poly.map { ring =>
         new GenericArrayData(ring.map { pos =>
-          new GenericArrayData(pos.toArray)
-        }.toArray[Any])
+          UnsafeArrayData.fromPrimitiveArray(pos.toArray): Any
+        }.toArray)
       }.toArray[Any])
     }.toArray[Any])
 

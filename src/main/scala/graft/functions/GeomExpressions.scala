@@ -263,7 +263,7 @@ object exprs {
       extends TernaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
-      new GenericArrayData(CellIndex.ancestors(
+      UnsafeArrayData.fromPrimitiveArray(CellIndex.ancestors(
         lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int]))
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StCellAncestors =
       copy(first = f, second = s, third = t)
@@ -317,8 +317,9 @@ object exprs {
     override protected def nullSafeEval(input: Any): Any = {
       val rings = GeomData.fromRow(input.asInstanceOf[InternalRow]).polygonRings
       new GenericArrayData(rings.map { r =>
-        new GenericArrayData(r.map(p => new GenericArrayData(p.toArray)).toArray[Any])
-      }.toArray[Any])
+        new GenericArrayData(r.map(p =>
+          UnsafeArrayData.fromPrimitiveArray(p.toArray): Any).toArray): Any
+      }.toArray)
     }
     override protected def withNewChildInternal(c: Expression): StRings = copy(child = c)
     override def prettyName: String = "st_rings"
@@ -332,7 +333,7 @@ object exprs {
     override def eval(input: InternalRow): Any = {
       val vs = children.map(_.eval(input))
       if (vs.exists(_ == null)) return null
-      new GenericArrayData(CellIndex.ring(
+      UnsafeArrayData.fromPrimitiveArray(CellIndex.ring(
         vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
         vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int]))
     }

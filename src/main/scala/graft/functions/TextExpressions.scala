@@ -56,7 +56,7 @@ object textexprs {
         }
         i += 1
       }
-      new GenericArrayData(sig)
+      UnsafeArrayData.fromPrimitiveArray(sig)
     }
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MinHash =
       copy(first = f, second = s, third = t)
@@ -82,7 +82,7 @@ object textexprs {
         out(b) = h
         b += 1
       }
-      new GenericArrayData(out)
+      UnsafeArrayData.fromPrimitiveArray(out)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): LshBands =
       copy(left = l, right = r)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * north_star.
   */
 object Images {
+
+  // ImageIO's default stream cache is DISK-backed: every decode writes a
+  // temp file, serializing all executor threads on /tmp I/O (measured: 32
+  // cores SLOWER than 8). Memory-cached streams keep decode CPU-bound.
+  ImageIO.setUseCache(false)
 
   /** Deterministic RGB for pixel (x, y) of image `id` — smooth gradients
     * (JPEG-friendly) with id-seeded phase. */
@@ -75,30 +81,122 @@ object Images {
     out.toByteArray
   }
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  /** Disposer-free ImageInputStream over a byte array. The stock
+    * MemoryCacheImageInputStream registers with sun.java2d.Disposer — a
+    * GLOBAL synchronized registry — in its constructor, serializing all
+    * executor threads (thread dumps showed 30+ workers parked in
+    * Disposer.addRecord; 32-core decode ran 2x SLOWER than 8-core). */
+  private final class ByteArrayImageInputStream(buf: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      bitOffset = 0
+      if (streamPos >= buf.length) -1
+      else { val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      bitOffset = 0
+      if (streamPos >= buf.length) -1
+      else {
+        val n = math.min(len, buf.length - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    }
+    override def length(): Long = buf.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+    // ImageInputStreamImpl declares a (deprecated) finalize(), which makes
+    // every instance finalizable -> java.lang.ref.Finalizer.register, a
+    // global lock (thread dumps showed 40+ workers inside it). An empty
+    // override in the concrete class makes instances non-finalizable.
+    @annotation.nowarn("cat=deprecation")
+    override def finalize(): Unit = {}
+  }
+
+  /** Bulk packed-RGB pixel extraction. Per-pixel BufferedImage.getRGB goes
+    * through ColorModel.getRGB behind a shared lock (contended across
+    * executor threads); raw DataBuffer access is lock-free. */
+  def pixels(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte
+          if img.getType == BufferedImage.TYPE_3BYTE_BGR =>
+        val d = b.getData
+        val out = new Array[Int](w * h)
+        var i = 0; var p = 0
+        while (i < out.length) {
+          out(i) = ((d(p + 2) & 0xff) << 16) | ((d(p + 1) & 0xff) << 8) | (d(p) & 0xff)
+          p += 3; i += 1
+        }
+        out
+      case b: java.awt.image.DataBufferInt
+          if img.getType == BufferedImage.TYPE_INT_RGB =>
+        b.getData.map(_ & 0xffffff)
+      case _ =>
+        img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xffffff)
+    }
+  }
+
+  /** Per-thread reader instances: skips the synchronized SPI registry scan
+    * and reader construction on every row. */
+  private val localReaders =
+    new ThreadLocal[Map[String, javax.imageio.ImageReader]] {
+      override def initialValue(): Map[String, javax.imageio.ImageReader] = Map(
+        "png" -> ImageIO.getImageReadersByFormatName("png").next(),
+        "jpeg" -> ImageIO.getImageReadersByFormatName("jpeg").next(),
+        "bmp" -> ImageIO.getImageReadersByFormatName("bmp").next())
+    }
+
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0x89 && b(1) == 'P') "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else ""
+
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val fmt = sniffFormat(bytes)
+    if (fmt.isEmpty) return ImageIO.read(new ByteArrayInputStream(bytes)) // fallback
+    val reader = localReaders.get()(fmt)
+    val in = new ByteArrayImageInputStream(bytes)
+    try {
+      reader.setInput(in, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      in.close()
+    }
+  }
 
   def synthBytes(imageId: String, w: Int, h: Int, fmt: String): Array[Byte] =
     encode(render(imageId, w, h), fmt)
 
+  /** Lock-free fast path for the lossless formats (graft.core.FastImage),
+    * ImageIO (per-thread reader) for everything else. */
+  def decodeToPixels(bytes: Array[Byte]): graft.core.FastImage.Decoded = {
+    val fast = graft.core.FastImage.decode(bytes)
+    if (fast != null) fast
+    else {
+      val img = decode(bytes)
+      if (img == null) null
+      else graft.core.FastImage.Decoded(img.getWidth, img.getHeight, pixels(img))
+    }
+  }
+
   /** Peak signal-to-noise ratio between two images (dB; +Inf if identical). */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     require(a.getWidth == b.getWidth && a.getHeight == b.getHeight)
+    val pa = pixels(a); val pb = pixels(b)
     var se = 0.0; var n = 0L
-    var y = 0
-    while (y < a.getHeight) {
-      var x = 0
-      while (x < a.getWidth) {
-        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
-        var s = 16
-        while (s >= 0) {
-          val d = ((pa >> s) & 0xff) - ((pb >> s) & 0xff)
-          se += d.toDouble * d; n += 1
-          s -= 8
-        }
-        x += 1
+    var i = 0
+    while (i < pa.length) {
+      var s = 16
+      while (s >= 0) {
+        val d = ((pa(i) >> s) & 0xff) - ((pb(i) >> s) & 0xff)
+        se += d.toDouble * d; n += 1
+        s -= 8
       }
-      y += 1
+      i += 1
     }
     if (se == 0) Double.PositiveInfinity
     else 10.0 * math.log10(255.0 * 255.0 / (se / n))
@@ -106,6 +204,8 @@ object Images {
 
   /** 64-bit perceptual hash: 8x8 block-mean luminance vs overall mean. */
   def phash(img: BufferedImage): Long = {
+    val px = pixels(img)
+    val iw = img.getWidth
     val means = new Array[Double](64)
     val bw = math.max(1, img.getWidth / 8); val bh = math.max(1, img.getHeight / 8)
     var total = 0.0
@@ -118,7 +218,7 @@ object Images {
         while (y < math.min((by + 1) * bh, img.getHeight)) {
           var x = bx * bw
           while (x < math.min((bx + 1) * bw, img.getWidth)) {
-            val p = img.getRGB(x, y)
+            val p = px(y * iw + x)
             sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
             n += 1; x += 1
           }
@@ -150,17 +250,9 @@ object Images {
     override def dataType: DataType = decodedType
     override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any = {
-      val img = decode(input.asInstanceOf[Array[Byte]])
-      if (img == null) return null
-      val w = img.getWidth; val h = img.getHeight
-      val px = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
-        y += 1
-      }
-      InternalRow(w, h, new GenericArrayData(px))
+      val d = decodeToPixels(input.asInstanceOf[Array[Byte]])
+      if (d == null) return null
+      InternalRow(d.w, d.h, UnsafeArrayData.fromPrimitiveArray(d.pixels))
     }
     override protected def withNewChildInternal(c: Expression): ImageDecode = copy(child = c)
     override def prettyName: String = "image_decode"

@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
-  /** Explode a polygon layer (must carry `geom`) into its cover cells. */
+  /** Explode a polygon layer (must carry `geom`) into its cover cells.
+    * The covering (quadtree descent per polygon) is CPU-heavy relative to
+    * the layer's row count and typically arrives as a single small file —
+    * repartition first or one task serializes the whole covering. */
   def coverSide(polys: DataFrame, level: Int): DataFrame =
     polys
+      .repartition(polys.sparkSession.sparkContext.defaultParallelism)
       .withColumn("rings", st_rings(col("geom")))
       .withColumn("cov", explode(st_cover(col("geom"), level)))
       .withColumn("cell", col("cov.cell"))

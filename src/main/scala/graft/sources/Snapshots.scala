@@ -50,25 +50,40 @@ object Snapshots {
       operation: String = "append"): Seq[PartitionMeta] = {
     import spark.implicits._
     val done = committedPartitions(spark, table, snapshotId)
-    val withPart = df.withColumn("part_id", pmod(hash(col(keyCol)), lit(nParts)).cast("int"))
+    val pending = (0 until nParts).filterNot(done.contains)
+    if (pending.isEmpty) return Seq.empty
 
-    val metas = (0 until nParts).filterNot(done.contains).map { pid =>
-      val part = withPart.where(col("part_id") === pid).drop("part_id").cache()
-      val rows = part.count()
-      // lineage hash: order-independent xor-ish aggregate of row hashes
-      val lhash =
-        if (rows == 0) 0L
-        else part.select(sum(hash(struct(part.columns.map(col): _*)).cast("long")).as("h"))
-          .collect()(0).getLong(0)
-      part.write.mode(SaveMode.Overwrite).parquet(s"$table/data/part_id=$pid")
-      part.unpersist()
-      // commit this partition's lineage row immediately (resumable mid-run)
-      Seq(PartitionMeta(snapshotId, pid, rows, lhash)).toDF(
-        "snapshot_id", "part_id", "row_count", "lineage_hash")
-        .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/partitions")
+    // one data job + one stats job, NOT a job per partition: the driver-side
+    // loop would serialize nParts small jobs and wreck N->4N scaling
+    // efficiency (Amdahl). Dynamic partition overwrite keeps resume safe: a
+    // crashed run's partially-written partitions are simply rewritten, and
+    // already-committed partitions are filtered out up front.
+    val withPart = df.withColumn("part_id", pmod(hash(col(keyCol)), lit(nParts)).cast("int"))
+    val filtered = (if (done.isEmpty) withPart
+                    else withPart.where(!col("part_id").isin(done.toSeq: _*))).persist()
+
+    val dataCols = df.columns
+    filtered.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_id")
+      .parquet(s"$table/data")
+
+    // per-partition row counts + order-independent lineage hashes in one agg
+    val stats = filtered
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("rows"),
+        sum(hash(dataCols.map(col): _*).cast("long")).as("lhash"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    filtered.unpersist()
+
+    val metas = pending.map { pid =>
+      val (rows, lhash) = stats.getOrElse(pid, (0L, 0L))
       PartitionMeta(snapshotId, pid, rows, lhash)
     }
-
+    metas.map(m => (m.snapshotId, m.partId, m.rowCount, m.lineageHash))
+      .toDF("snapshot_id", "part_id", "row_count", "lineage_hash")
+      .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/partitions")
     // snapshot manifest + atomic CURRENT pointer flip
     Seq((snapshotId, java.time.Instant.now.toString, operation, nParts))
       .toDF("snapshot_id", "ts", "operation", "n_partitions")

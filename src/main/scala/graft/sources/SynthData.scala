@@ -60,6 +60,13 @@ object SynthData {
       .select(col("o_orderkey").as("point_id"),
         expr(pointLonSql).as("lon"), expr(pointLatSql).as("lat"))
 
+  /** Table-free point synth at arbitrary cardinality (scale benchmarks):
+    * same arithmetic as [[points]] with `id` in place of o_orderkey. */
+  def pointsN(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("point_id"),
+      expr(pointLonSql.replace("o_orderkey", "id")).as("lon"),
+      expr(pointLatSql.replace("o_orderkey", "id")).as("lat"))
+
   /** Rectangle layer WITH its WKT (exercises the constructor + parser in the
     * engine path; corners integral so fmt=0 round-trips exactly). */
   def polygons(spark: SparkSession, dir: String): DataFrame = {
@@ -84,8 +91,16 @@ object SynthData {
 
   /** images table per input_hint (without bytes; see graft.operators.Images
     * for the pixel-bearing variant). caption + phash are deterministic. */
-  def images(spark: SparkSession, dir: String): DataFrame =
-    points(spark, dir)
+  def images(spark: SparkSession, dir: String): DataFrame = imagesFrom(points(spark, dir))
+
+  /** Scale-test variant: n images with smaller pixel dims (w 16..48). */
+  def imagesN(spark: SparkSession, n: Long): DataFrame =
+    imagesFrom(pointsN(spark, n))
+      .withColumn("w", (col("point_id") % 3 * 16 + 16).cast("int"))
+      .withColumn("h", (col("point_id") % 2 * 16 + 16).cast("int"))
+
+  def imagesFrom(pts: DataFrame): DataFrame =
+    pts
       .withColumn("image_id", format_string("img-%09d", col("point_id")))
       .withColumn("w", (col("point_id") % 5 * 16 + 16).cast("int"))
       .withColumn("h", (col("point_id") % 3 * 16 + 16).cast("int"))
