@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("SPARK_GC").map(g => s"-XX:+$g").toSeq ++
+  sys.env.get("SPARK_GC_LOG").map(p => s"-Xlog:gc*:$p").toSeq ++
+  sys.env.get("SPARK_JAVA_EXTRA").toSeq.flatMap(_.split(" ").toSeq)

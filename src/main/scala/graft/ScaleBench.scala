@@ -48,6 +48,8 @@ object ScaleBench {
     val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
     // large enough that parallel work dwarfs fixed job overheads
     val nImages = if (args.length > 2) args(2).toLong else 1500000L
+    val nCores = if (args.length > 3) args(3).toInt else 8
+    val n4Cores = nCores * 4
 
     val prep = session(32)
     try {
@@ -55,16 +57,16 @@ object ScaleBench {
         Pipeline.prepareN(prep, nImages, sfDir, work)
     } finally prep.stop()
 
-    timed(8, work) // warmup, unrecorded
-    var best8 = Double.MaxValue; var rps8 = 0.0
-    var best32 = Double.MaxValue; var rps32 = 0.0
+    timed(nCores, work) // warmup, unrecorded
+    var bestN = Double.MaxValue; var rpsN = 0.0
+    var best4N = Double.MaxValue; var rps4N = 0.0
     for (_ <- 1 to 2) {
-      val (s8, r8) = timed(8, work)
-      if (s8 < best8) { best8 = s8; rps8 = r8 }
-      val (s32, r32) = timed(32, work)
-      if (s32 < best32) { best32 = s32; rps32 = r32 }
+      val (sN, rN) = timed(nCores, work)
+      if (sN < bestN) { bestN = sN; rpsN = rN }
+      val (s4N, r4N) = timed(n4Cores, work)
+      if (s4N < best4N) { best4N = s4N; rps4N = r4N }
     }
-    val eff = (rps32 / rps8) / 4.0
-    println(f"""{"job":"spatial-join+tile-assign","sf":"$sfDir","sec_8":$best8%.3f,"rps_8":$rps8%.1f,"sec_32":$best32%.3f,"rps_32":$rps32%.1f,"scaling_efficiency_8_to_32":$eff%.3f}""")
+    val eff = (rps4N / rpsN) / 4.0
+    println(f"""{"job":"spatial-join+tile-assign","sf":"$sfDir","n_cores":$nCores,"sec_N":$bestN%.3f,"rps_N":$rpsN%.1f,"sec_4N":$best4N%.3f,"rps_4N":$rps4N%.1f,"scaling_efficiency_N_to_4N":$eff%.3f}""")
   }
 }
