@@ -19,6 +19,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object exprs {
 
+  /** Allocation-free even-odd ray cast straight over Catalyst ArrayData
+    * (the join-refinement hot path runs once per candidate pair — never
+    * build Vectors there). */
+  def containsRingsData(rings: ArrayData, x: Double, y: Double): Boolean = {
+    var parity = false
+    var r = 0
+    val nr = rings.numElements()
+    while (r < nr) {
+      val ring = rings.getArray(r)
+      val n = ring.numElements()
+      var inside = false
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val pi = ring.getArray(i)
+        val pj = ring.getArray(j)
+        val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+        val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+        if ((yi > y) != (yj > y)) {
+          val xCross = (xj - xi) * (y - yi) / (yj - yi) + xi
+          if (x < xCross) inside = !inside
+        }
+        j = i
+        i += 1
+      }
+      if (inside) parity = !parity
+      r += 1
+    }
+    parity
+  }
+
   /** `wkt2geojson` (reference R/wkt2geojson.R:82-94): tolerant WKT parse into
     * the geometry struct. Throws on unknown type like the reference. */
   case class StGeomFromText(child: Expression)
@@ -73,6 +104,19 @@ object exprs {
       Lint.lint(input.asInstanceOf[UTF8String].toString)
     override protected def withNewChildInternal(c: Expression): StIsWkt = copy(child = c)
     override def prettyName: String = "st_iswkt"
+  }
+
+  /** `grepl("empty")` guard (reference R/point.R:43-47): geometry has no
+    * coordinates (and no parts). */
+  case class StIsEmpty(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(input: Any): Any = {
+      val g = GeomData.fromRow(input.asInstanceOf[InternalRow])
+      g.isEmptyGeom && g.parts.isEmpty
+    }
+    override protected def withNewChildInternal(c: Expression): StIsEmpty = copy(child = c)
+    override def prettyName: String = "st_isempty"
   }
 
   /** `get_centroid` (reference R/get_centroid.R:24-36, R/zzz.R:42-66):
@@ -248,10 +292,16 @@ object exprs {
 
   /** Cell id of a lon/lat at a level (packed Long; graft.core.CellIndex). */
   case class StCellId(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
       CellIndex.cell(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (lon, lat, lvl) =>
+        s"graft.core.CellIndex.cell($lon, $lat, $lvl)")
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StCellId =
       copy(first = f, second = s, third = t)
     override def prettyName: String = "st_cellid"
@@ -303,7 +353,7 @@ object exprs {
       extends TernaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
     override protected def nullSafeEval(rings: Any, x: Any, y: Any): Any =
-      RayCast.containsRings(GeomData.readRank3(rings.asInstanceOf[ArrayData]),
+      exprs.containsRingsData(rings.asInstanceOf[ArrayData],
         x.asInstanceOf[Double], y.asInstanceOf[Double])
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StContainsRings =
       copy(first = f, second = s, third = t)
@@ -344,20 +394,30 @@ object exprs {
 
   /** Web-Mercator tile X / Y at zoom z. */
   case class StTileX(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(lon: Any, z: Any): Any =
       TileMath.tileX(lon.asInstanceOf[Double], z.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (lon, z) => s"graft.core.TileMath.tileX($lon, $z)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StTileX =
       copy(left = l, right = r)
     override def prettyName: String = "st_tile_x"
   }
 
   case class StTileY(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(lat: Any, z: Any): Any =
       TileMath.tileY(lat.asInstanceOf[Double], z.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (lat, z) => s"graft.core.TileMath.tileY($lat, $z)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StTileY =
       copy(left = l, right = r)
     override def prettyName: String = "st_tile_y"

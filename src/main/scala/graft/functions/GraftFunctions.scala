@@ -27,6 +27,7 @@ object GraftFunctions {
     "st_astext" -> arity(2, a => E.StAsText(a(0), a(1))),
     "st_astext_compact" -> arity(1, a => E.StAsTextCompact(a(0))),
     "st_iswkt" -> arity(1, a => E.StIsWkt(a(0))),
+    "st_isempty" -> arity(1, a => E.StIsEmpty(a(0))),
     "st_centroid" -> arity(1, a => E.StCentroid(a(0))),
     "st_aswkb" -> arity(1, a => E.StAsWkb(a(0))),
     "st_geomfromwkb" -> arity(1, a => E.StGeomFromWkb(a(0))),
@@ -83,6 +84,7 @@ object GraftFunctions {
   def st_astext(geom: Column, fmt: Int): Column = call_function("st_astext", geom, lit(fmt))
   def st_astext_compact(geom: Column): Column = call_function("st_astext_compact", geom)
   def st_iswkt(wkt: Column): Column = call_function("st_iswkt", wkt)
+  def st_isempty(geom: Column): Column = call_function("st_isempty", geom)
   def st_centroid(geom: Column): Column = call_function("st_centroid", geom)
   def st_aswkb(geom: Column): Column = call_function("st_aswkb", geom)
   def st_geomfromwkb(wkb: Column): Column = call_function("st_geomfromwkb", wkb)
