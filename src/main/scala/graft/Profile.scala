@@ -28,10 +28,13 @@ object Profile {
       }
     })
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
-    rm(new java.io.File(s"$work/tile_stats"))
-    val t0 = System.nanoTime()
-    val (out, n) = Pipeline.run(spark, work)
-    println(f"[total-$cores] ${(System.nanoTime() - t0) / 1e9}%.2f s  images=$n tiles=$out")
+    for (round <- 1 to 2) {
+      rm(new java.io.File(s"$work/tile_stats"))
+      println(s"[round $round]")
+      val t0 = System.nanoTime()
+      val (out, n) = Pipeline.run(spark, work, zoom = 8, level = sys.env.getOrElse("GRAFT_LEVEL", "10").toInt)
+      println(f"[total-$cores r$round] ${(System.nanoTime() - t0) / 1e9}%.2f s  images=$n tiles=$out")
+    }
     spark.stop()
   }
 }
