@@ -15,6 +15,18 @@ import graft.core.RFormat.formatTuple
   */
 object WktWriter {
 
+  /** `fmtcheck` (reference R/zzz.R:33-36): 0 <= fmt <= 20, reference's own
+    * quirky message preserved. */
+  def fmtCheck(fmt: Int): Unit =
+    if (fmt < 0 || fmt > 20)
+      throw new IllegalArgumentException("fmt must be 0 and 20")
+
+  /** `checker` arity guard (reference R/zzz.R:26-31). */
+  def arityCheck(pos: Seq[Double], typeName: String, lens: Seq[Int]): Unit =
+    if (!lens.contains(pos.length))
+      throw new IllegalArgumentException(
+        s"$typeName input should be of length ${lens.mkString(" ")}")
+
   private def tup(pos: Seq[Double], fmt: Int): String =
     formatTuple(pos, fmt, pad = false).mkString(" ")
 
@@ -56,37 +68,57 @@ object WktWriter {
 
   // ---- constructor family (vectorized "row -> WKT"; all trim) ----
 
-  /** `point.numeric`/`.data.frame` (reference R/point.R:52-72). */
-  def pointWkt(pos: Seq[Double], fmt: Int): String =
+  /** `point.numeric`/`.data.frame` (reference R/point.R:52-72; strict 2-D,
+    * R/point.R:54). */
+  def pointWkt(pos: Seq[Double], fmt: Int): String = {
+    fmtCheck(fmt)
+    arityCheck(pos, "POINT", Seq(2))
     s"POINT (${tup(pos, fmt)})"
+  }
 
-  /** `multipoint.*` (reference R/multipoint.R:41-82). */
-  def multiPointWkt(pts: Seq[Seq[Double]], fmt: Int): String =
+  /** `multipoint.*` (reference R/multipoint.R:41-82; per-point 2-D guard,
+    * R/multipoint.R:44). */
+  def multiPointWkt(pts: Seq[Seq[Double]], fmt: Int): String = {
+    fmtCheck(fmt)
+    pts.foreach(arityCheck(_, "MULTIPOINT", Seq(2)))
     "MULTIPOINT (" + pts.map(p => s"(${tup(p, fmt)})").mkString(", ") + ")"
+  }
 
-  /** `linestring.*` (reference R/linestring.R:56-91). */
-  def lineStringWkt(pts: Seq[Seq[Double]], fmt: Int): String =
+  /** `linestring.*` (reference R/linestring.R:56-91; positions 2..4-D,
+    * R/linestring.R:60). */
+  def lineStringWkt(pts: Seq[Seq[Double]], fmt: Int): String = {
+    fmtCheck(fmt)
+    pts.foreach(arityCheck(_, "LINESTRING", Seq(2, 3, 4)))
     "LINESTRING (" + pts.map(tup(_, fmt)).mkString(", ") + ")"
+  }
 
   /** `polygon.*` — each arg is one ring (reference R/polygon.R:61-106). */
-  def polygonWkt(rings: Seq[Seq[Seq[Double]]], fmt: Int): String =
+  def polygonWkt(rings: Seq[Seq[Seq[Double]]], fmt: Int): String = {
+    fmtCheck(fmt)
     "POLYGON (" +
       rings.map(r => s"(${r.map(tup(_, fmt)).mkString(", ")})").mkString(", ") + ")"
+  }
 
   /** `multilinestring.*` (reference R/multilinestring.R:62-97). */
-  def multiLineStringWkt(lines: Seq[Seq[Seq[Double]]], fmt: Int): String =
+  def multiLineStringWkt(lines: Seq[Seq[Seq[Double]]], fmt: Int): String = {
+    fmtCheck(fmt)
     "MULTILINESTRING (" +
       lines.map(l => s"(${l.map(tup(_, fmt)).mkString(", ")})").mkString(", ") + ")"
+  }
 
   /** `multipolygon.*` (reference R/multipolygon.R:63-113). */
-  def multiPolygonWkt(polys: Seq[Seq[Seq[Seq[Double]]]], fmt: Int): String =
+  def multiPolygonWkt(polys: Seq[Seq[Seq[Seq[Double]]]], fmt: Int): String = {
+    fmtCheck(fmt)
     "MULTIPOLYGON (" + polys.map { p =>
       s"(${p.map(r => s"(${r.map(tup(_, fmt)).mkString(", ")})").mkString(", ")})"
     }.mkString(", ") + ")"
+  }
 
   /** `circularstring.*` (reference R/circularstring.R:44-70). */
-  def circularStringWkt(pts: Seq[Seq[Double]], fmt: Int): String =
+  def circularStringWkt(pts: Seq[Seq[Double]], fmt: Int): String = {
+    fmtCheck(fmt)
     "CIRCULARSTRING (" + pts.map(tup(_, fmt)).mkString(", ") + ")"
+  }
 
   /** `geometrycollection.character` (reference R/geometrycollection.R:37-49):
     * validates each input WKT with the strict lint grammar; throws with the

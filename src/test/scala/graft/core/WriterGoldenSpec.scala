@@ -131,6 +131,18 @@ class WriterGoldenSpec extends AnyFunSuite {
     assert(emptyWkt("circularstring") == "CIRCULARSTRING EMPTY")
   }
 
+  test("constructor failure contracts (test-point.R:50-53 et al)") {
+    val e1 = intercept[IllegalArgumentException](pointWkt(Seq(-116.4), 16))
+    assert(e1.getMessage.contains("POINT input should be of length 2"))
+    val e2 = intercept[IllegalArgumentException](lineStringWkt(Seq(Seq(-116.4)), 16))
+    assert(e2.getMessage.contains("LINESTRING input should be of length 2"))
+    val e3 = intercept[IllegalArgumentException](multiPointWkt(Seq(Seq(-116.4)), 16))
+    assert(e3.getMessage.contains("POINT input should be of length 2")) // substring of MULTIPOINT msg
+    val e4 = intercept[IllegalArgumentException](pointWkt(Seq(1.0, 2.0), 21))
+    assert(e4.getMessage.contains("fmt must be 0 and 20"))
+    intercept[IllegalArgumentException](pointWkt(Seq(1.0, 2.0), -1))
+  }
+
   test("geometrycollection constructor (test-geometrycollection.R:7-26)") {
     assert(geometryCollectionWkt(Seq(pointWkt(Seq(-116.4, 45.2), 16))) ==
       "GEOMETRYCOLLECTION (POINT (-116.4000000000000057 45.2000000000000028))")
