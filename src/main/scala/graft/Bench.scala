@@ -11,9 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (parse -> cover -> equijoin -> raycast -> decode -> tiles -> snapshot)
   * and reported as pipeline seconds + rows/sec.
   *
-  * q27_jaccard_pairs is excluded above sf0.01: its all-pairs token join is
-  * quadratic in corpus size by design (the bounded-candidate variants
-  * q23/q24 are the scale path and ARE measured).
+  * The JSON line is printed as the sole content of stdout's final line AND
+  * written to ./BENCH.json, so the driver's parser never has to fish it
+  * out of sbt log decoration.
   */
 object Bench {
 
@@ -35,15 +35,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    val skip = Set("q27_jaccard_pairs")
-    val heavyOk = sfDir.contains("sf0.001") || sfDir.contains("sf0.01")
-
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // optional comma-separated filter for targeted timing runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     // flagship pipeline: prepare once (unmeasured), run measured
     val work = s"/tmp/graft-bench-${sfDir.replaceAll("[^0-9.a-z]", "")}"
     var pipelineRps = 0.0
-    try {
+    if (wanted("pipeline")) try {
       if (!new java.io.File(s"$work/images").exists())
         Pipeline.prepare(spark, sfDir, work)
       // clean output table so the run does full work
@@ -62,24 +62,26 @@ object Bench {
         results("pipeline") = -1.0
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!skip.contains(name) || heavyOk) {
-        val t0 = System.nanoTime()
-        try {
-          force(fn(spark, sfDir))
-          results(name) = (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            results(name) = -1.0
-        }
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        force(fn(spark, sfDir))
+        results(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          results(name) = -1.0
       }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipelineRps%.1f}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipelineRps%.1f}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

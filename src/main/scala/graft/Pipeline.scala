@@ -99,6 +99,17 @@ object Pipeline {
     // (image_id, 1) with map-side partial aggregation.
     val matchCnt = joined.groupBy("image_id")
       .agg(count(lit(1)).as("n_matches"))
+      .persist()
+    val nMatched = matchCnt.count()
+
+    // semi-join pushed BELOW the decode, without shuffling bytes: the
+    // matched-id set is reduced to a fixed-size Bloom filter (broadcastable
+    // no matter how many images matched), so with a selective polygon layer
+    // decode work is proportional to matches, not corpus size. False
+    // positives only waste a decode — the exact inner join on matchCnt
+    // below removes them from the output.
+    val bloomBytes = graft.functions.sketchexprs.toBytes(
+      matchCnt.stat.bloomFilter(xxhash64(col("image_id")), math.max(nMatched, 1L), 0.02))
 
     // raster-tile assignment: decode pixels and map 8x8 blocks of the
     // footprint bbox (centroid +- half a pixel-degree extent) to tiles —
@@ -106,6 +117,7 @@ object Pipeline {
     // nothing broadcast: matchCnt grows with the corpus, so the combine is
     // a skinny shuffle join on image_id instead of a driver-side broadcast)
     val tilesPerImage = pts
+      .where(bloom_contains(bloomBytes, xxhash64(col("image_id"))))
       .withColumn("half_w", col("w").cast("double") / 2.0 / 1000.0)
       .withColumn("half_h", col("h").cast("double") / 2.0 / 1000.0)
       .withColumn("px", image_decode(col("bytes")))
@@ -131,6 +143,7 @@ object Pipeline {
     val out =
       if (metas.nonEmpty) metas.map(_.rowCount).sum
       else Snapshots.readData(spark, s"$workDir/tile_stats").count() // resumed no-op
+    matchCnt.unpersist(false)
     (out, nImages)
   }
 

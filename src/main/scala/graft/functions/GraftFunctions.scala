@@ -54,6 +54,10 @@ object GraftFunctions {
     "st_ring_cells" -> arity(4, a => E.StRingCells(a)),
     "st_tile_x" -> arity(2, a => E.StTileX(a(0), a(1))),
     "st_tile_y" -> arity(2, a => E.StTileY(a(0), a(1))),
+    "bloom_contains" -> arity(2, a => sketchexprs.BloomContains(
+      a(0).eval(null).asInstanceOf[Array[Byte]], a(1))),
+    "vec_dot" -> arity(2, a => vecexprs.VecDot(a(0), a(1))),
+    "vec_norm2" -> arity(1, a => vecexprs.VecNorm2(a(0))),
     "minhash" -> arity(3, a => textexprs.MinHash(a(0), a(1), a(2))),
     "lsh_bands" -> arity(2, a => textexprs.LshBands(a(0), a(1))),
     "simhash" -> arity(1, a => textexprs.SimHash(a(0))),
@@ -67,8 +71,11 @@ object GraftFunctions {
     "image_tile_blocks" -> arity(1, a => graft.operators.Images.ImageTileBlocks(a(0)))
   )
 
+  /** Idempotent per session: skips silently when the family is already
+    * registered (avoids per-query "function X replaced" warning spam). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier(registry.last._1))) return
     registry.foreach { case (name, builder) =>
       reg.registerFunction(
         FunctionIdentifier(name),
@@ -127,6 +134,10 @@ object GraftFunctions {
     call_function("st_ring_cells", lon, lat, lit(level), r)
   def st_tile_x(lon: Column, z: Int): Column = call_function("st_tile_x", lon, lit(z))
   def st_tile_y(lat: Column, z: Int): Column = call_function("st_tile_y", lat, lit(z))
+  def bloom_contains(filterBytes: Array[Byte], key: Column): Column =
+    call_function("bloom_contains", lit(filterBytes), key)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vec_norm2(v: Column): Column = call_function("vec_norm2", v)
   def minhash(text: Column, n: Int, shingleWidth: Int = 3): Column =
     call_function("minhash", text, lit(n), lit(shingleWidth))
   def lsh_bands(sig: Column, bands: Int): Column = call_function("lsh_bands", sig, lit(bands))

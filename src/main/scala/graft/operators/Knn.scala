@@ -1,29 +1,34 @@
 package graft.operators
 
-import graft.core.CellIndex
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact kNN via expanding k-ring search over the cell grid (north_rule:
   * "kNN via expanding H3 k-ring search").
   *
   * Each round r joins the still-pending queries' disk(r) cells against the
-  * (pre-celled) point table, takes per-query top-k by exact euclidean
-  * distance, and retires a query once its kth distance is <= r * cellHeight
+  * celled point table, takes per-query top-k by exact euclidean distance,
+  * and retires a query once its kth distance is STRICTLY below r*cellHeight
   * — no point outside the disk can beat it (a cell at Chebyshev distance
-  * > r is at least r full cells away). Radius doubles per round, so rounds
-  * = O(log gridSize) even for isolated queries.
+  * > r is at least r full cells away), and boundary ties force one more
+  * expansion round so tie-breaks match the brute-force ordering. Radius
+  * doubles per round, so rounds = O(log gridSize) even for isolated
+  * queries.
   *
   * Distance is squared euclidean in lon/lat degrees with a fixed expression
   * shape so the DuckDB oracle reproduces the exact doubles; ties break on
   * point_id — fully deterministic output.
   *
-  * Scale: the query side is tiny relative to the corpus (typical kNN
-  * workload), so each round broadcasts the exploded query-cells; the big
-  * point table is scanned with a cell-bucket filter pushed down. Pending
-  * queries shrink geometrically.
+  * Scale shape: the celled corpus is persisted ONCE before the loop (at
+  * 100 TB: write it bucketed by cell instead) — every round joins the
+  * broadcast exploded query-disk against the same materialized blocks, no
+  * per-round rescan of the raw table. Pending queries shrink geometrically
+  * (tracked by one count per round on the new pending set — the same
+  * action that materializes it). Per-round caches are unpersisted as soon
+  * as their successor is materialized, so storage stays O(one round).
   */
 object Knn {
 
@@ -32,56 +37,87 @@ object Knn {
   /** queries(query_id, qlon, qlat) x points(point_id, lon, lat) -> top-k
     * (query_id, point_id, rnk). */
   def knn(queries: DataFrame, points: DataFrame, k: Int, level: Int = 8): DataFrame = {
-    val spark = queries.sparkSession
     val cellH = 180.0 / (1L << level).toDouble
     val maxR = (1L << level).toInt
 
+    // celled corpus: materialized once, reused by every round
     val pts = points.withColumn("cell", st_cellid(col("lon"), col("lat"), level))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPts = pts.count() // one pass: materializes the cache AND sizes r0
+
+    // adaptive start radius: size disk(r0) so it expects ~4k points under a
+    // uniform-density estimate — most queries then retire in round one and
+    // the driver-side round loop (the fixed-cost item at small SF) stays
+    // 1-2 iterations. Sparse regions still converge by doubling; the exact
+    // retirement bound is untouched, so the OUTPUT is radius-independent.
+    val density = math.max(nPts.toDouble, 1.0) / (360.0 * 180.0)
+    val r0 = math.max(1, math.min(maxR,
+      math.ceil((math.sqrt(4.0 * k / density) / cellH - 1.0) / 2.0).toInt))
 
     var pending = queries.cache()
-    var results: DataFrame = null
-    var r = 1
+    var nPending = pending.count()
+    val finishedParts = scala.collection.mutable.Buffer[DataFrame]()
+    val roundCaches = scala.collection.mutable.Buffer[DataFrame]()
+    var r = r0
     val win = Window.partitionBy("query_id").orderBy(col("dist"), col("point_id"))
 
-    while (r <= 2 * maxR && pending.limit(1).count() > 0) {
+    while (r <= 2 * maxR && nPending > 0) {
       // disk of radius r = rings 0..r, exploded per pending query
       val disk = pending.withColumn("rr", explode(sequence(lit(0), lit(math.min(r, maxR)))))
         .withColumn("cell", explode(st_ring_cells(col("qlon"), col("qlat"), level, col("rr"))))
         .drop("rr")
 
-      val cand = broadcast(disk).join(pts, "cell")
+      // cached but NOT materialized here — the pending checkpoint below is
+      // the round's single action and fills this cache as a side effect
+      val ranked = broadcast(disk).join(pts, "cell")
         .withColumn("dist", expr(distExpr))
-      val ranked = cand
         .withColumn("rnk", row_number().over(win))
         .where(col("rnk") <= k)
         .select("query_id", "point_id", "rnk", "dist")
         .cache()
 
       val bound = r * cellH
+      // strict bound: boundary ties force one more round, matching the
+      // brute-force tie-break ordering exactly
       val done = ranked.groupBy("query_id")
         .agg(count(lit(1)).as("cnt"), max(col("dist")).as("kth"))
-        .where(col("cnt") === k && col("kth") <= lit(bound * bound))
+        .where(col("cnt") === k && col("kth") < lit(bound * bound))
         .select("query_id")
 
-      val finished = ranked.join(done, "query_id").select("query_id", "point_id", "rnk")
-      results = if (results == null) finished else results.unionByName(finished)
-      // materialize results before pending shrinks (avoid recompute churn)
-      results = results.cache()
-      results.count()
+      finishedParts += ranked.join(done, "query_id").select("query_id", "point_id", "rnk")
+      roundCaches += ranked
 
-      pending = pending.join(done, Seq("query_id"), "left_anti").cache()
+      val prevPending = pending
+      // localCheckpoint: materializes the (tiny) new pending set AND
+      // truncates its lineage, so the per-round plan tree stays O(1)-deep
+      // instead of doubling every round (left_anti chains otherwise nest)
+      pending = pending.join(done, Seq("query_id"), "left_anti")
+        .localCheckpoint(true)
+      nPending = pending.count()
+      prevPending.unpersist(false)
       r *= 2
     }
 
     // any stragglers (fewer than k points in the whole grid): brute force
-    if (pending.limit(1).count() > 0) {
-      val brute = broadcast(pending).crossJoin(points)
+    if (nPending > 0) {
+      finishedParts += broadcast(pending).crossJoin(points)
         .withColumn("dist", expr(distExpr))
         .withColumn("rnk", row_number().over(win))
         .where(col("rnk") <= k)
         .select("query_id", "point_id", "rnk")
-      results = if (results == null) brute else results.unionByName(brute)
     }
+    if (finishedParts.isEmpty) { // no queries at all
+      pts.unpersist(false)
+      pending.unpersist(false)
+      return knnBrute(queries, points, k)
+    }
+    // one final materialization; eager localCheckpoint makes the result
+    // self-contained (queries x k rows — tiny) so every per-round cache can
+    // be released immediately after
+    val results = finishedParts.reduce(_ unionByName _).localCheckpoint(true)
+    roundCaches.foreach(_.unpersist(false))
+    pts.unpersist(false)
+    pending.unpersist(false)
     results
   }
 

@@ -78,17 +78,24 @@ object SpatialJoin {
       salt: Int = 8,
       sampleFraction: Double = 0.01,
       hotThreshold: Long = 10000L): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // cached once: the CPU-heavy quadtree covering feeds the pre-pass and
+    // both join branches. The cache is reclaimed by Spark's ContextCleaner
+    // once the result is materialized and this frame goes out of scope
+    // (weak-reference cleanup) — it does not accumulate across calls.
     val cover = coverSide(polys, level).cache()
     val pts = points.withColumn("cell",
       explode(st_cell_ancestors(col("lon"), col("lat"), level)))
 
-    // cheap pre-pass: sampled per-cell probe counts -> hot cell set
+    // cheap pre-pass: sampled per-cell probe counts, restricted to cells
+    // that exist in the cover (every point is "hot" at the coarse ancestor
+    // levels, but those cells join nothing unless a polygon covers them)
     val hotCells = pts.sample(sampleFraction)
       .join(cover.select("cell"), "cell")
       .groupBy("cell").count()
       .where(col("count") >= math.max(1L, (hotThreshold * sampleFraction).toLong))
       .select("cell").collect().map(_.getLong(0)).toSet
-    val hotLit = typedLit(hotCells.toSeq)
 
     val refined = (df: DataFrame) => df
       .where(col("full") || st_contains_rings(col("rings"), col("lon"), col("lat")))
@@ -97,11 +104,14 @@ object SpatialJoin {
     if (hotCells.isEmpty) {
       refined(pts.join(cover, "cell"))
     } else {
-      val coldJoin = pts.where(!col("cell").isin(hotCells.toSeq: _*))
-        .join(cover.where(!col("cell").isin(hotCells.toSeq: _*)), "cell")
-      val hotPts = pts.where(col("cell").isin(hotCells.toSeq: _*))
+      // broadcast hash semi/anti joins against the (small) hot-cell frame:
+      // constant plan size regardless of |hotCells| (vs isin literal lists)
+      val hotDf = broadcast(hotCells.toSeq.toDF("cell"))
+      val coldJoin = pts.join(hotDf, Seq("cell"), "left_anti")
+        .join(cover.join(hotDf, Seq("cell"), "left_anti"), "cell")
+      val hotPts = pts.join(hotDf, Seq("cell"), "left_semi")
         .withColumn("salt", pmod(hash(col("point_id")), lit(salt)))
-      val hotCover = cover.where(col("cell").isin(hotCells.toSeq: _*))
+      val hotCover = cover.join(hotDf, Seq("cell"), "left_semi")
         .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
       val hotJoin = hotPts.join(hotCover, Seq("cell", "salt"))
       refined(coldJoin).unionByName(refined(hotJoin))

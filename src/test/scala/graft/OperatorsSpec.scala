@@ -94,6 +94,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("jaccard pairs: dict (small-vocab) and prefix (large-vocab) paths == naive") {
+    val rnd = new scala.util.Random(11)
+    def naive(docs: Seq[(Long, String)], t: Double): Set[(Long, Long)] = {
+      val sets = docs.map { case (id, s) => id -> s.split(" ").toSet }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = (sa intersect sb).size.toDouble / (sa union sb).size
+        if j >= t
+      } yield (a, b)).toSet
+    }
+    def run(docs: Seq[(Long, String)], t: Double): Set[(Long, Long)] =
+      Dedup.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // small vocabulary (12 tokens) -> dictionary/bitmask plan
+    val vocabS = (1 to 12).map(i => s"t$i")
+    val small = (0 until 80).map(i =>
+      (i.toLong, rnd.shuffle(vocabS).take(6 + rnd.nextInt(5)).mkString(" ")))
+    assert(run(small, 0.7) == naive(small, 0.7))
+
+    // large vocabulary (300 tokens) -> prefix-filter plan
+    val vocabL = (1 to 300).map(i => s"w$i")
+    val big = (0 until 60).map { i =>
+      val base = rnd.shuffle(vocabL).take(25)
+      (i.toLong, (if (i % 3 == 0) base.updated(3, "swapped") else base).mkString(" "))
+    }
+    assert(run(big, 0.85) == naive(big, 0.85))
+    // and directly exercise the prefix path on the small-vocab corpus too
+    val toks = small.toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val viaPrefix = Dedup.jaccardPairsPrefix(toks, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaPrefix == naive(small, 0.7))
+  }
+
   test("ANN LSH top-k achieves high recall vs brute force") {
     // clustered embeddings (LSH's applicability regime): 20 centers + noise
     val rnd = new scala.util.Random(5)
