@@ -25,9 +25,11 @@ final case class Geom(
     if (it.hasNext) it.next().length else 2
   }
 
+  /** No coordinates anywhere: covers both shape-empty nesting (MULTIPOINT
+    * EMPTY -> no positions) and the empty point's single zero-length
+    * position (POINT EMPTY -> coords(0)(0)(0) == Vector.empty). */
   def isEmptyGeom: Boolean =
-    typeTag != GeomType.GeometryCollection && coords.forall(_.forall(_.forall(_.isEmpty))) &&
-      (coords.isEmpty || coords.flatten.flatten.isEmpty)
+    typeTag != GeomType.GeometryCollection && coords.forall(_.forall(_.forall(_.isEmpty)))
 
   /** Iterator over every position in the geometry (recursing into parts). */
   def allPositions: Iterator[Vector[Double]] =

@@ -20,7 +20,9 @@ import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
   *     `trim`), right-align all tuple members to the common width.
   */
 object RFormat {
-  private val mc7 = new MathContext(7, RoundingMode.HALF_UP)
+  // R's signif() rounds half-to-even; binary doubles essentially never tie
+  // at 7 significant digits, but HALF_EVEN keeps the emulation exact.
+  private val mc7 = new MathContext(7, RoundingMode.HALF_EVEN)
 
   /** Decimals needed to show x at 7 significant digits (R print default). */
   def decimalsFor7Sig(x: Double): Int = {

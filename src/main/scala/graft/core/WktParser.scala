@@ -184,6 +184,22 @@ object WktParser {
     Geom.point(Vector.tabulate(cnt)(coords(_)))
   }
 
+  /** `<TYPE> EMPTY` -> coordinate-free geometry of that type (the reference
+    * tolerates EMPTY bodies — as.numeric("EMPTY") -> NA — and its own
+    * constructors emit them, reference R/point.R:43-47; this also closes the
+    * round trip with the compact writer's "POINT EMPTY"). */
+  private def emptyGeom(kw: String): Geom = kw match {
+    case "POINT"              => Geom(GeomType.Point, Vector(Vector(Vector(Vector.empty))))
+    case "LINESTRING"         => Geom.lineString(Vector.empty)
+    case "POLYGON"            => Geom.polygon(Vector.empty)
+    case "MULTIPOINT"         => Geom.multiPoint(Vector.empty)
+    case "MULTILINESTRING"    => Geom.multiLineString(Vector.empty)
+    case "MULTIPOLYGON"       => Geom.multiPolygon(Vector.empty)
+    case "GEOMETRYCOLLECTION" => Geom.collection(Vector.empty)
+    case other =>
+      throw new IllegalArgumentException(s"no WKT loader for type $other")
+  }
+
   /** `wkt2geojson` dispatch (reference R/wkt2geojson.R:82-94). */
   def parse(wkt: String): Geom = {
     val fp = fastPoint(wkt)
@@ -192,7 +208,8 @@ object WktParser {
     if (t.length != 1)
       throw new IllegalArgumentException(
         "EXPR must be a length 1 vector: unknown or ambiguous WKT type in: " + wkt)
-    dispatch(t.head, wkt)
+    if (trim(stripKeyword(wkt, t.head)).equalsIgnoreCase("EMPTY")) emptyGeom(t.head)
+    else dispatch(t.head, wkt)
   }
 
   def parseOrNull(wkt: String): Geom =

@@ -53,7 +53,9 @@ object exprs {
   /** `wkt2geojson` (reference R/wkt2geojson.R:82-94): tolerant WKT parse into
     * the geometry struct. Throws on unknown type like the reference. */
   case class StGeomFromText(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = GeomData.geometryType
     override protected def nullSafeEval(input: Any): Any =
       GeomData.toRow(WktParser.parse(input.asInstanceOf[UTF8String].toString))
@@ -63,7 +65,9 @@ object exprs {
 
   /** Null-on-error variant of [[StGeomFromText]] for dirty web-scale input. */
   case class StTryGeomFromText(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = GeomData.geometryType
     override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any = {
@@ -76,7 +80,9 @@ object exprs {
 
   /** `geojson2wkt` writer (reference R/geojson2wkt.R:138-217). */
   case class StAsText(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType, IntegerType)
     override def dataType: DataType = StringType
     override protected def nullSafeEval(geom: Any, fmt: Any): Any =
       UTF8String.fromString(
@@ -88,7 +94,9 @@ object exprs {
 
   /** wkx-style compact WKT (reference README.md:350-359, used by wkb_wkt). */
   case class StAsTextCompact(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType)
     override def dataType: DataType = StringType
     override protected def nullSafeEval(input: Any): Any =
       UTF8String.fromString(Wkb.toCompactWkt(GeomData.fromRow(input.asInstanceOf[InternalRow])))
@@ -98,7 +106,9 @@ object exprs {
 
   /** `lint` (reference R/lint.R:24-38). */
   case class StIsWkt(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = BooleanType
     override protected def nullSafeEval(input: Any): Any =
       Lint.lint(input.asInstanceOf[UTF8String].toString)
@@ -109,7 +119,9 @@ object exprs {
   /** `grepl("empty")` guard (reference R/point.R:43-47): geometry has no
     * coordinates (and no parts). */
   case class StIsEmpty(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType)
     override def dataType: DataType = BooleanType
     override protected def nullSafeEval(input: Any): Any = {
       val g = GeomData.fromRow(input.asInstanceOf[InternalRow])
@@ -122,7 +134,9 @@ object exprs {
   /** `get_centroid` (reference R/get_centroid.R:24-36, R/zzz.R:42-66):
     * mean-of-vertices, lon first; null for GeometryCollection/empty. */
   case class StCentroid(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType)
     override def dataType: DataType = GeomData.centroidType
     override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any =
@@ -136,7 +150,9 @@ object exprs {
 
   /** `wkt_wkb` (reference R/wkb.R:41-44): geometry -> little-endian WKB. */
   case class StAsWkb(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType)
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(input: Any): Any =
       Wkb.toWkb(GeomData.fromRow(input.asInstanceOf[InternalRow]))
@@ -146,7 +162,9 @@ object exprs {
 
   /** WKB -> geometry struct (reference R/wkb.R:48-52 parse side). */
   case class StGeomFromWkb(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(BinaryType)
     override def dataType: DataType = GeomData.geometryType
     override protected def nullSafeEval(input: Any): Any =
       GeomData.toRow(Wkb.fromWkb(input.asInstanceOf[Array[Byte]]))
@@ -156,7 +174,9 @@ object exprs {
 
   /** `wkb_wkt` (reference R/wkb.R:48-52): WKB -> compact WKT text. */
   case class StWkbToWkt(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(BinaryType)
     override def dataType: DataType = StringType
     override protected def nullSafeEval(input: Any): Any =
       UTF8String.fromString(Wkb.toCompactWkt(Wkb.fromWkb(input.asInstanceOf[Array[Byte]])))
@@ -167,7 +187,9 @@ object exprs {
   /** `as_json(wkt2geojson(...))` (reference R/as.json.R:19-26 +
     * R/wkt2geojson.R feature/numeric flags). args: geom, feature, numeric, fmt. */
   case class StAsGeoJson(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType, BooleanType, BooleanType, IntegerType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def eval(input: InternalRow): Any = {
@@ -186,7 +208,9 @@ object exprs {
 
   /** `geojson2wkt.character` JSON input path (reference R/geojson2wkt.R:129-136). */
   case class StGeomFromGeoJson(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = GeomData.geometryType
     override protected def nullSafeEval(input: Any): Any =
       GeomData.toRow(GeoJson.parse(input.asInstanceOf[UTF8String].toString))
@@ -196,7 +220,9 @@ object exprs {
 
   /** `properties(x, style, popup)` (reference R/properties.R:12-22). */
   case class StProperties(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType, StringType, StringType)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def eval(input: InternalRow): Any = {
@@ -216,7 +242,9 @@ object exprs {
 
   /** `as_featurecollection` (reference R/as_featurecollection.R:13-18). */
   case class StAsFeatureCollection(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = StringType
     override protected def nullSafeEval(input: Any): Any =
       UTF8String.fromString(GeoJson.asFeatureCollection(input.asInstanceOf[UTF8String].toString))
@@ -228,7 +256,9 @@ object exprs {
 
   /** Direct struct Point from lon/lat columns (engine building block). */
   case class StPoint(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(DoubleType, DoubleType)
     override def dataType: DataType = GeomData.geometryType
     override protected def nullSafeEval(x: Any, y: Any): Any =
       GeomData.toRow(Geom.point(Vector(x.asInstanceOf[Double], y.asInstanceOf[Double])))
@@ -239,7 +269,9 @@ object exprs {
 
   /** `point.data.frame` row-vectorized constructor (reference R/point.R:59-72). */
   case class StPointWkt(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
     override def dataType: DataType = StringType
     override protected def nullSafeEval(x: Any, y: Any, fmt: Any): Any =
       UTF8String.fromString(WktWriter.pointWkt(
@@ -253,7 +285,17 @@ object exprs {
     * kind: 1=multipoint(rank2) 2=linestring(rank2) 3=polygon(rank3)
     *       4=multilinestring(rank3) 5=multipolygon(rank4) 6=circularstring(rank2). */
   case class StConstructWkt(left: Expression, right: Expression, kind: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = {
+      val rank2 = ArrayType(ArrayType(DoubleType))
+      val arrT = kind match {
+        case 1 | 2 | 6 => rank2
+        case 3 | 4     => ArrayType(rank2)
+        case _         => ArrayType(ArrayType(rank2))
+      }
+      Seq(arrT, IntegerType)
+    }
     override def dataType: DataType = StringType
     override protected def nullSafeEval(arr: Any, fmtAny: Any): Any = {
       val a = arr.asInstanceOf[ArrayData]
@@ -277,7 +319,9 @@ object exprs {
   /** `geometrycollection(...)` from already-formed WKTs (reference
     * R/geometrycollection.R:37-49, lint-validating). */
   case class StCollectWkt(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
     override def dataType: DataType = StringType
     override protected def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
@@ -292,7 +336,9 @@ object exprs {
 
   /** Cell id of a lon/lat at a level (packed Long; graft.core.CellIndex). */
   case class StCellId(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression {
+      extends TernaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
     override def dataType: DataType = LongType
     override protected def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
       CellIndex.cell(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int])
@@ -310,7 +356,9 @@ object exprs {
   /** Ancestor chain of a point's cell: levels 0..maxLevel (point side of the
     * disjoint-cover equijoin — at most ONE ancestor hits a polygon cover). */
   case class StCellAncestors(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
       UnsafeArrayData.fromPrimitiveArray(CellIndex.ancestors(
@@ -323,7 +371,9 @@ object exprs {
   /** Batched disjoint quadtree covering of a polygon geometry
     * (north_star: "batched covering algorithm"); array<struct<cell,full>>. */
   case class StCover(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType, IntegerType)
     override def dataType: DataType = GeomData.coverType
     override protected def nullSafeEval(geom: Any, level: Any): Any = {
       val g = GeomData.fromRow(geom.asInstanceOf[InternalRow])
@@ -337,7 +387,9 @@ object exprs {
 
   /** Exact even-odd ray-cast point-in-polygon over a geometry's rings. */
   case class StContains(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType, DoubleType, DoubleType)
     override def dataType: DataType = BooleanType
     override protected def nullSafeEval(geom: Any, x: Any, y: Any): Any =
       RayCast.contains(GeomData.fromRow(geom.asInstanceOf[InternalRow]),
@@ -350,7 +402,9 @@ object exprs {
   /** Ray-cast against a raw rank-3 rings array (post-join refinement hot
     * path: rings live as a plain column, no struct rebuild). */
   case class StContainsRings(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(ArrayType(ArrayType(DoubleType))), DoubleType, DoubleType)
     override def dataType: DataType = BooleanType
     override protected def nullSafeEval(rings: Any, x: Any, y: Any): Any =
       exprs.containsRingsData(rings.asInstanceOf[ArrayData],
@@ -362,7 +416,9 @@ object exprs {
 
   /** Rings of a polygonal geometry as a plain rank-3 array column. */
   case class StRings(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(GeomData.geometryType)
     override def dataType: DataType = ArrayType(ArrayType(ArrayType(DoubleType, containsNull = false)))
     override protected def nullSafeEval(input: Any): Any = {
       val rings = GeomData.fromRow(input.asInstanceOf[InternalRow]).polygonRings
@@ -377,7 +433,9 @@ object exprs {
 
   /** Cells of the square k-ring at Chebyshev distance r (kNN expansion). */
   case class StRingCells(children: Seq[Expression])
-      extends Expression with CodegenFallback {
+      extends Expression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(DoubleType, DoubleType, IntegerType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
     override def eval(input: InternalRow): Any = {
@@ -394,7 +452,9 @@ object exprs {
 
   /** Web-Mercator tile X / Y at zoom z. */
   case class StTileX(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(DoubleType, IntegerType)
     override def dataType: DataType = LongType
     override protected def nullSafeEval(lon: Any, z: Any): Any =
       TileMath.tileX(lon.asInstanceOf[Double], z.asInstanceOf[Int])
@@ -409,7 +469,9 @@ object exprs {
   }
 
   case class StTileY(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(DoubleType, IntegerType)
     override def dataType: DataType = LongType
     override protected def nullSafeEval(lat: Any, z: Any): Any =
       TileMath.tileY(lat.asInstanceOf[Double], z.asInstanceOf[Int])

@@ -32,26 +32,38 @@ object Snapshots {
     if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
   }
 
-  /** Partitions already committed for snapshot `sid` (resume set). */
-  def committedPartitions(spark: SparkSession, table: String, sid: Long): Set[Int] = {
+  /** Per-partition metadata already committed for snapshot `sid` (resume
+    * set). Deduplicated by part_id so a crash-then-resume that produced a
+    * duplicate lineage row can never double-count. */
+  def committedMetas(spark: SparkSession, table: String, sid: Long): Seq[PartitionMeta] = {
     val dir = s"${metaDir(table)}/partitions"
-    if (!Files.exists(Paths.get(dir))) Set.empty
+    if (!Files.exists(Paths.get(dir))) Seq.empty
     else spark.read.parquet(dir)
       .where(col("snapshot_id") === sid)
-      .select("part_id").collect().map(_.getInt(0)).toSet
+      .dropDuplicates("part_id")
+      .collect()
+      .map(r => PartitionMeta(sid, r.getAs[Int]("part_id"),
+        r.getAs[Long]("row_count"), r.getAs[Long]("lineage_hash"))).toSeq
   }
+
+  /** Partitions already committed for snapshot `sid` (resume set). */
+  def committedPartitions(spark: SparkSession, table: String, sid: Long): Set[Int] =
+    committedMetas(spark, table, sid).map(_.partId).toSet
 
   /** Write `df` bucketed into `nParts` logical partitions with per-partition
     * lineage rows; skips partitions already committed for this snapshot id
-    * (idempotent resume). Returns per-partition metadata. */
+    * (idempotent resume). Returns per-partition metadata for the WHOLE
+    * snapshot — previously committed partitions included — so every resume
+    * path (fresh, partial, no-op) reports the same total row count. */
   def writeSnapshot(
       spark: SparkSession, df: DataFrame, table: String,
       snapshotId: Long, nParts: Int, keyCol: String,
       operation: String = "append"): Seq[PartitionMeta] = {
     import spark.implicits._
-    val done = committedPartitions(spark, table, snapshotId)
+    val committed = committedMetas(spark, table, snapshotId)
+    val done = committed.map(_.partId).toSet
     val pending = (0 until nParts).filterNot(done.contains)
-    if (pending.isEmpty) return Seq.empty
+    if (pending.isEmpty) { ensureCurrent(table, snapshotId); return committed }
 
     // one data job + one stats job, NOT a job per partition: the driver-side
     // loop would serialize nParts small jobs and wreck N->4N scaling
@@ -84,16 +96,27 @@ object Snapshots {
     metas.map(m => (m.snapshotId, m.partId, m.rowCount, m.lineageHash))
       .toDF("snapshot_id", "part_id", "row_count", "lineage_hash")
       .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/partitions")
-    // snapshot manifest + atomic CURRENT pointer flip
-    Seq((snapshotId, java.time.Instant.now.toString, operation, nParts))
-      .toDF("snapshot_id", "ts", "operation", "n_partitions")
-      .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/snapshots")
+    // snapshot manifest (skipped when a crashed-then-resumed run already
+    // appended this snapshot's row — manifest stays one row per snapshot)
+    val manifestExists = Files.exists(Paths.get(s"${metaDir(table)}/snapshots")) &&
+      !readSnapshots(spark, table).where(col("snapshot_id") === snapshotId).isEmpty
+    if (!manifestExists) {
+      Seq((snapshotId, java.time.Instant.now.toString, operation, nParts))
+        .toDF("snapshot_id", "ts", "operation", "n_partitions")
+        .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/snapshots")
+    }
+    ensureCurrent(table, snapshotId)
+    committed ++ metas
+  }
+
+  /** Atomic CURRENT pointer flip (idempotent). */
+  private def ensureCurrent(table: String, snapshotId: Long): Unit = {
+    if (currentSnapshot(table).contains(snapshotId)) return
     val tmp = Paths.get(metaDir(table), s".CURRENT.tmp.$snapshotId")
     Files.createDirectories(tmp.getParent)
     Files.writeString(tmp, snapshotId.toString)
     Files.move(tmp, currentPath(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    metas
   }
 
   def readSnapshots(spark: SparkSession, table: String): DataFrame =

@@ -29,6 +29,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getString(2) == "LINESTRING (0 1, 2 3)")
   }
 
+  test("EMPTY geometries parse, round-trip, and st_isempty") {
+    val r = spark.sql(
+      "SELECT st_isempty(st_geomfromtext('POINT EMPTY')) AS a, " +
+        "st_isempty(st_geomfromtext('multipolygon empty')) AS b, " +
+        "st_isempty(st_geomfromtext('POINT (1 2)')) AS c, " +
+        "st_astext_compact(st_geomfromtext('POINT EMPTY')) AS d").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+    // writer->parser round trip closes: compact writer emits 'POINT EMPTY'
+    assert(r.getString(3) == "POINT EMPTY")
+  }
+
+  test("type mismatches are analysis-time errors or implicit casts, not runtime CCEs") {
+    // bigint fmt arg: implicit cast makes it work
+    assert(spark.sql("SELECT st_astext(st_geomfromtext('POINT (1 2)'), 0L) AS t")
+      .collect()(0).getString(0) == "POINT (1 2)")
+    // non-castable input: rejected during analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT st_geomfromtext(array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") || e.getMessage.contains("data type mismatch"))
+  }
+
   test("centroid / wkb / geojson / properties on DataFrames") {
     val df = Seq("MULTIPOINT ((100.000 3.101), (101.000 2.100), (3.140 2.180))").toDF("wkt")
       .withColumn("g", st_geomfromtext($"wkt"))

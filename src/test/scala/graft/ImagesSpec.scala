@@ -72,11 +72,17 @@ class ImagesSpec extends SparkTestBase {
     assert(m1.map(_.rowCount).sum == 1000)
     assert(Snapshots.currentSnapshot(s"$dir/t").contains(1L))
     assert(Snapshots.readData(spark, s"$dir/t").count() == 1000)
-    // resume same snapshot: all partitions already committed -> no-op
+    // resume same snapshot: all partitions already committed -> no new
+    // writes, but the SAME total row count is reported (consistent across
+    // fresh / partial / no-op resume paths)
     val m2 = Snapshots.writeSnapshot(spark, df, s"$dir/t", snapshotId = 1L,
       nParts = 4, keyCol = "k")
-    assert(m2.isEmpty, "resume must skip committed partitions")
+    assert(m2.map(_.rowCount).sum == 1000, "no-op resume reports the full snapshot count")
+    assert(m2.map(_.partId).toSet == Set(0, 1, 2, 3))
     assert(Snapshots.readData(spark, s"$dir/t").count() == 1000)
+    // manifest stays one row per snapshot across resumes
+    assert(Snapshots.readSnapshots(spark, s"$dir/t")
+      .where(col("snapshot_id") === 1).count() == 1)
     // partial-failure simulation: pre-commit 2 of 4 partitions for snapshot 2
     val m3 = Snapshots.writeSnapshot(spark, df, s"$dir/t2", snapshotId = 2L,
       nParts = 2, keyCol = "k")
