@@ -149,6 +149,103 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
+    // ---- constructor / codec coverage (reference test-*.R goldens) ----
+    "q29_linestring" -> ((s, dir) => {
+      reg(s)
+      val corners = expr("array(array(x0, y0), array(x0 + w, y0), " +
+        "array(x0 + w, y0 + h), array(x0, y0 + h))")
+      polys(s, dir)
+        .withColumn("ls_wkt", st_linestring_wkt(corners, 0))
+        .select(col("poly_id"), col("ls_wkt"),
+          st_astext(st_geomfromtext(col("ls_wkt")), 0).as("ls_rt"))
+        .orderBy("poly_id")
+    }),
+    "q30_multilinestring" -> ((s, dir) => {
+      reg(s)
+      val lines = expr("array(" +
+        "array(array(x0, y0), array(x0 + w, y0 + h)), " +
+        "array(array(x0 + 1, y0 + 1), array(x0 + w + 1, y0 + h + 1)))")
+      polys(s, dir)
+        .withColumn("mls_wkt", st_multilinestring_wkt(lines, 0))
+        .select(col("poly_id"), col("mls_wkt"),
+          st_astext(st_geomfromtext(col("mls_wkt")), 0).as("mls_rt"))
+        .orderBy("poly_id")
+    }),
+    "q31_multipolygon" -> ((s, dir) => {
+      reg(s)
+      def ring(dx: String): String =
+        s"array(array(x0 + $dx, y0), array(x0 + w + $dx, y0), " +
+          s"array(x0 + w + $dx, y0 + h), array(x0 + $dx, y0 + h), array(x0 + $dx, y0))"
+      val mp = expr(s"array(array(${ring("0")}), array(${ring("100")}))")
+      polys(s, dir)
+        .withColumn("mp_wkt", st_multipolygon_wkt(mp, 0))
+        .select(col("poly_id"), col("mp_wkt"),
+          st_astext(st_geomfromtext(col("mp_wkt")), 0).as("mp_rt"))
+        .orderBy("poly_id")
+    }),
+    "q32_circularstring" -> ((s, dir) => {
+      reg(s)
+      val pts3 = expr("array(array(x0, y0), array(x0 + w, y0), array(x0 + w, y0 + h))")
+      polys(s, dir)
+        .select(col("poly_id"), st_circularstring_wkt(pts3, 0).as("cs_wkt"))
+        .orderBy("poly_id")
+    }),
+    "q33_collect" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("gc_wkt", st_collect_wkt(
+          array(st_point_wkt(col("x0"), col("y0"), 0), col("wkt"))))
+        .select(col("poly_id"), col("gc_wkt"),
+          st_astext(st_geomfromtext(col("gc_wkt")), 0).as("gc_rt"))
+        .orderBy("poly_id")
+    }),
+    "q34_isempty" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("wkt2",
+          when(col("poly_id") % 4 === 0, lit("POINT EMPTY"))
+            .when(col("poly_id") % 4 === 2, lit("MULTIPOLYGON EMPTY"))
+            .when(col("poly_id") % 4 === 3, lit("linestring empty"))
+            .otherwise(col("wkt")))
+        .select(col("poly_id"),
+          st_isempty(st_geomfromtext(col("wkt2"))).as("is_empty"))
+        .orderBy("poly_id")
+    }),
+    "q35_properties" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("feat", st_asgeojson(
+          st_geomfromtext(st_point_wkt(col("x0"), col("y0"), 0))))
+        .select(col("poly_id"), st_properties(col("feat"),
+          lit("""{"color":"red"}"""),
+          concat(lit("""{"text":"p"""), col("poly_id"), lit("\"}"))).as("feat_props"))
+        .orderBy("poly_id")
+    }),
+    "q36_featurecollection" -> ((s, dir) => {
+      reg(s)
+      polys(s, dir)
+        .withColumn("feat", st_asgeojson(
+          st_geomfromtext(st_point_wkt(col("x0"), col("y0"), 0))))
+        .select(col("poly_id"), st_as_featurecollection(col("feat")).as("fc"))
+        .orderBy("poly_id")
+    }),
+    "q37_pipeline_tiles" -> ((s, dir) => {
+      // the flagship pipeline's tile aggregation, oracle-checked: parse-once
+      // footprints -> cover equijoin -> raycast -> zoom-6 tile counts
+      reg(s)
+      val ipts = SynthData.images(s, dir)
+        .withColumn("g", st_geomfromtext(st_point_wkt(col("lon"), col("lat"), 16)))
+        .withColumn("c", st_centroid(col("g")))
+        .select(col("image_id"), col("c.lon").as("lon"), col("c.lat").as("lat"))
+      val p = polys(s, dir).withColumn("geom", st_geomfromtext(col("wkt")))
+        .select("poly_id", "geom")
+      SpatialJoin.pointsInPolygons(ipts, p, level = 10, broadcastCover = Some(true))
+        .withColumn("x", st_tile_x(col("lon"), 6))
+        .withColumn("y", st_tile_y(col("lat"), 6))
+        .groupBy("poly_id", "x", "y").agg(count(lit(1)).as("images"))
+        .orderBy("poly_id", "x", "y")
+    }),
+
     // ---- spatial join / kNN / tiles ----
     "q15_spatial_join" -> ((s, dir) => {
       reg(s)
@@ -206,14 +303,19 @@ object SparkEntry {
     }),
     "q23_minhash_pairs" -> ((s, dir) => {
       reg(s)
+      // bands = numHashes (one row per band): est >= 0.5 means >= 32 of 64
+      // minima agree, so at least one band collides — recall is provably
+      // 1.0 and the DuckDB oracle can recompute the full signature compare
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          numHashes = 64, bands = 16, shingleW = 3, threshold = 0.5)
+          numHashes = 64, bands = 64, shingleW = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard") * 64).cast("long").as("agree64"))
         .orderBy("id_a", "id_b")
     }),
     "q24_simhash_pairs" -> ((s, dir) => {
       reg(s)
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      // maxHamming = 3 with 4 sub-bands: pigeonhole-exact candidates
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     }),
     "q25_langid" -> ((s, dir) => {
@@ -255,6 +357,18 @@ object SparkEntry {
       pair(xi, yi, " "), pair(xw, yi, " "), pair(xw, yh, " "),
       pair(xi, yh, " "), pair(xi, yi, " ")).mkString(" || ',' || ")
 
+    // integer-rendered corner "x y" for arbitrary integral corner expressions
+    def pt(xe: String, ye: String) =
+      s"printf('%d %d', CAST($xe AS BIGINT), CAST($ye AS BIGINT))"
+    val line4 = Seq(("x0", "y0"), ("x0 + w", "y0"), ("x0 + w", "y0 + h"), ("x0", "y0 + h"))
+      .map((pt _).tupled).mkString(" || ', ' || ")
+    def ringAt(dx: String) = Seq(
+      (s"x0 + $dx", "y0"), (s"x0 + w + $dx", "y0"), (s"x0 + w + $dx", "y0 + h"),
+      (s"x0 + $dx", "y0 + h"), (s"x0 + $dx", "y0")).map((pt _).tupled).mkString(" || ', ' || ")
+    // Jackson-compact Feature JSON for an integral point (doubles render N.0)
+    val featJson = "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"Point\",\"coordinates\":[' || " +
+      "printf('%d', CAST(x0 AS BIGINT)) || '.0,' || printf('%d', CAST(y0 AS BIGINT)) || '.0]}'"
+
     Map(
       "q01_pricing_agg" ->
         ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
@@ -293,6 +407,45 @@ object SparkEntry {
         (P + "SELECT point_id % 7 AS gid, 'MULTIPOINT (' || string_agg(" +
           "'(' || printf('%.16f', lon) || ' ' || printf('%.16f', lat) || ')', ', ' ORDER BY point_id) || ')' AS mp_wkt " +
           "FROM pts WHERE point_id % 53 = 0 GROUP BY 1 ORDER BY gid"),
+      "q29_linestring" ->
+        (P + s"SELECT poly_id, s AS ls_wkt, s AS ls_rt FROM " +
+          s"(SELECT poly_id, 'LINESTRING (' || $line4 || ')' AS s FROM polys) ORDER BY poly_id"),
+      "q30_multilinestring" ->
+        (P + "SELECT poly_id, s AS mls_wkt, s AS mls_rt FROM (SELECT poly_id, " +
+          s"'MULTILINESTRING ((' || ${Seq(("x0", "y0"), ("x0 + w", "y0 + h")).map((pt _).tupled).mkString(" || ', ' || ")} || " +
+          s"'), (' || ${Seq(("x0 + 1", "y0 + 1"), ("x0 + w + 1", "y0 + h + 1")).map((pt _).tupled).mkString(" || ', ' || ")} || '))' AS s " +
+          "FROM polys) ORDER BY poly_id"),
+      "q31_multipolygon" ->
+        (P + "SELECT poly_id, s AS mp_wkt, s AS mp_rt FROM (SELECT poly_id, " +
+          s"'MULTIPOLYGON (((' || ${ringAt("0")} || ')), ((' || ${ringAt("100")} || ')))' AS s " +
+          "FROM polys) ORDER BY poly_id"),
+      "q32_circularstring" ->
+        (P + "SELECT poly_id, 'CIRCULARSTRING (' || " +
+          Seq(("x0", "y0"), ("x0 + w", "y0"), ("x0 + w", "y0 + h")).map((pt _).tupled).mkString(" || ', ' || ") +
+          " || ')' AS cs_wkt FROM polys ORDER BY poly_id"),
+      "q33_collect" ->
+        (P + "SELECT poly_id, " +
+          s"'GEOMETRYCOLLECTION (POINT (' || xs || ' ' || ys || '), POLYGON ((' || $ringSpaced || ')))' AS gc_wkt, " +
+          "'GEOMETRYCOLLECTION (POINT (' || lpad(xs, pw, ' ') || ' ' || lpad(ys, pw, ' ') || " +
+          s"'), POLYGON ((' || $ringSpaced || ')))' AS gc_rt FROM " +
+          "(SELECT *, printf('%d', CAST(x0 AS BIGINT)) AS xs, printf('%d', CAST(y0 AS BIGINT)) AS ys, " +
+          "CAST(greatest(length(printf('%d', CAST(x0 AS BIGINT))), length(printf('%d', CAST(y0 AS BIGINT)))) AS INTEGER) AS pw " +
+          "FROM polys) ORDER BY poly_id"),
+      "q34_isempty" ->
+        (P + "SELECT poly_id, poly_id % 4 <> 1 AS is_empty FROM polys ORDER BY poly_id"),
+      "q35_properties" ->
+        (P + s"SELECT poly_id, $featJson || ',\"properties\":{\"style\":{\"color\":\"red\"}," +
+          "\"popup\":{\"text\":\"p' || poly_id || '\"}}}' AS feat_props FROM polys ORDER BY poly_id"),
+      "q36_featurecollection" ->
+        (P + s"SELECT poly_id, '{\"type\":\"FeatureCollection\",\"features\":[' || $featJson || " +
+          "',\"properties\":{}}]}' AS fc FROM polys ORDER BY poly_id"),
+      "q37_pipeline_tiles" ->
+        (P + "SELECT pl.poly_id, " +
+          "CAST(floor((p.lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS x, " +
+          "CAST(floor((1.0 - ln(tan(radians(p.lat)) + 1.0 / cos(radians(p.lat))) / pi()) / 2.0 * 64.0) AS BIGINT) AS y, " +
+          "count(*) AS images FROM pts p JOIN polys pl ON " +
+          "p.lon > pl.x0 AND p.lon < pl.x0 + pl.w AND p.lat > pl.y0 AND p.lat < pl.y0 + pl.h " +
+          "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
       "q15_spatial_join" ->
         (P + "SELECT p.point_id, y.poly_id FROM pts p JOIN polys y ON " +
           "p.lon > y.x0 AND p.lon < y.x0 + y.w AND p.lat > y.y0 AND p.lat < y.y0 + y.h " +
@@ -337,6 +490,39 @@ object SparkEntry {
           "JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
           "SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
           "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9 ORDER BY id_a, id_b"),
+      "q23_minhash_pairs" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS L FROM documents), " +
+          "sh AS (SELECT doc_id, CASE WHEN len(L) < 3 THEN array_to_string(L, ' ') " +
+          "ELSE array_to_string(L[i:i+2], ' ') END AS s FROM " +
+          "(SELECT doc_id, L, unnest(CASE WHEN len(L) = 0 THEN CAST([] AS BIGINT[]) " +
+          "ELSE range(1, greatest(1, len(L) - 2) + 1) END) AS i FROM toks)), " +
+          "hv AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh), " +
+          "sig AS (SELECT doc_id, j, min(CAST((CAST(2*j+3 AS HUGEINT) * h + (5*j+7)) % 2305843009213693951 AS BIGINT)) AS m " +
+          "FROM hv, generate_series(0, 63) t(j) GROUP BY 1, 2), " +
+          "agree AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS agree64 " +
+          "FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, agree64 FROM agree WHERE agree64 >= 32 ORDER BY id_a, id_b"),
+      "q24_simhash_pairs" ->
+        ("WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS tok FROM documents), " +
+          "hv AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks), " +
+          "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc " +
+          "FROM hv, generate_series(0, 59) t(b) GROUP BY 1, 2), " +
+          "sig AS (SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg FROM bits GROUP BY 1) " +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming " +
+          "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.sg, b.sg)) <= 3 ORDER BY id_a, id_b"),
+      "q25_langid" ->
+        ("WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0)) AS tok FROM documents), " +
+          "sw(slang, stok, prio) AS (VALUES " +
+          graft.functions.textexprs.LangId.profiles.zipWithIndex.flatMap {
+            case ((lang, words), i) => words.toSeq.sorted.map(w => s"('$lang', '$w', $i)")
+          }.mkString(", ") + "), " +
+          "scores AS (SELECT t.doc_id, s.slang, s.prio, count(*) AS score FROM toks t " +
+          "JOIN sw s ON t.tok = s.stok GROUP BY 1, 2, 3), " +
+          "best AS (SELECT doc_id, slang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, prio ASC) AS rn FROM scores) " +
+          "SELECT d.doc_id, COALESCE(b.slang, 'und') AS pred_lang, d.lang FROM documents d " +
+          "LEFT JOIN (SELECT doc_id, slang FROM best WHERE rn = 1) b USING (doc_id) ORDER BY d.doc_id"),
       "q28_embed_dups" ->
         ("WITH ev AS (SELECT vec_id, j, floor(CAST(embedding[j] AS DOUBLE) * 1000.0) AS x " +
           "FROM embeddings, generate_series(1, 64) t(j)), " +
@@ -345,8 +531,6 @@ object SparkEntry {
           "n AS (SELECT vec_id, SUM(x * x) AS n2 FROM ev GROUP BY 1) " +
           "SELECT id_a, id_b FROM m JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b " +
           "WHERE dot > 0 AND dot * dot >= 0.4 * 0.4 * x.n2 * y.n2 ORDER BY id_a, id_b")
-      // q23_minhash_pairs / q24_simhash_pairs / q25_langid: custom seeded
-      // hashing / heuristics, not SQL-expressible -> rows-only check.
     )
   }
 }

@@ -28,6 +28,40 @@ object textexprs {
     h
   }
 
+  /** PORTABLE 60-bit string hash: first 15 hex chars of md5, i.e. the value
+    * a SQL oracle reproduces verbatim as
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`. Always >= 0. Used by
+    * the minhash / simhash signatures so the driver's DuckDB compare can
+    * recompute them end-to-end (no opaque seeded mixer in the contract). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def portableHash60(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7 bytes + high nibble of byte 8 (60 bits)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    (h << 4) | ((bytes(7) & 0xf0L) >>> 4)
+  }
+
+  /** Mersenne-prime modulus 2^61-1 for the minhash permutation family. */
+  val MersenneP: Long = (1L << 61) - 1
+
+  /** (a*h + b) mod (2^61-1) with exact 128-bit intermediate — identical to
+    * DuckDB `(a::HUGEINT * h + b) % p`. */
+  @inline def affineMod61(a: Long, h: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    // 2^64 = 2^61 * 8 == 8 (mod p): fold the 128-bit product
+    var r = hi * 8 + (lo & MersenneP) + (lo >>> 61) + b
+    while (r >= MersenneP) r -= MersenneP
+    r
+  }
+
   /** Word w-shingles of a whitespace-tokenized text. */
   def shingles(text: String, w: Int): Array[String] = {
     val toks = text.split("\\s+").filter(_.nonEmpty)
@@ -35,9 +69,10 @@ object textexprs {
     else Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" "))
   }
 
-  /** MinHash signature over word shingles: array of n minima of seeded
-    * 64-bit hashes (the standard shingle->minhash step of MinHash+LSH
-    * dedup). */
+  /** MinHash signature over word shingles: array of n minima of the
+    * portable md5-based hash pushed through the affine permutation family
+    * h_j(x) = ((2j+3)x + (5j+7)) mod (2^61-1) — every step reproducible in
+    * DuckDB SQL, so the signature itself is oracle-checkable. */
   case class MinHash(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -47,10 +82,10 @@ object textexprs {
       val sig = Array.fill(n)(Long.MaxValue)
       var i = 0
       while (i < sh.length) {
-        val base = hashString(sh(i), 0x5eedL)
+        val base = portableHash60(sh(i))
         var j = 0
         while (j < n) {
-          val h = mix64(base ^ (j * 0x9e3779b97f4a7c15L))
+          val h = affineMod61(2L * j + 3L, base, 5L * j + 7L)
           if (h < sig(j)) sig(j) = h
           j += 1
         }
@@ -89,18 +124,20 @@ object textexprs {
     override def prettyName: String = "lsh_bands"
   }
 
-  /** 64-bit SimHash over word tokens (sign of per-bit weighted sums). */
+  /** 60-bit SimHash over word tokens (sign of per-bit weighted sums),
+    * built on the portable md5-based token hash so a SQL oracle can
+    * recompute the signature bit-for-bit. */
   case class SimHash(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(text: Any): Any = {
       val toks = text.asInstanceOf[UTF8String].toString.split("\\s+").filter(_.nonEmpty)
-      val acc = new Array[Int](64)
+      val acc = new Array[Int](60)
       var i = 0
       while (i < toks.length) {
-        val h = hashString(toks(i), 0x51abL)
+        val h = portableHash60(toks(i))
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
           b += 1
         }
@@ -108,7 +145,7 @@ object textexprs {
       }
       var out = 0L
       var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
       out
     }
     override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
@@ -155,35 +192,44 @@ object textexprs {
     override def prettyName: String = "doc_fingerprint"
   }
 
-  /** Character-trigram language-ID heuristic over a small built-in profile
-    * set (en/de/fr/es + unknown). Returns the best-scoring language code. */
+  /** Stopword-membership language-ID heuristic over a small built-in
+    * profile set (en/de/fr/es + unknown): score(lang) = number of TOKENS
+    * (whitespace-split, lowercased, with multiplicity) in the language's
+    * stopword set; prediction = highest score, ties broken by profile
+    * order, zero score -> "und". Token membership (not substring counting)
+    * keeps the heuristic exactly reproducible in SQL. */
   case class LangId(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override protected def nullSafeEval(text: Any): Any = {
-      val s = " " + text.asInstanceOf[UTF8String].toString.toLowerCase + " "
-      var best = "und"; var bestScore = 0.0
-      LangId.profiles.foreach { case (lang, grams) =>
-        var score = 0.0
-        grams.foreach { g =>
-          var idx = s.indexOf(g)
-          while (idx >= 0) { score += 1; idx = s.indexOf(g, idx + 1) }
+      val toks = text.asInstanceOf[UTF8String].toString.toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val scores = new Array[Int](LangId.profiles.length)
+      var i = 0
+      while (i < toks.length) {
+        var l = 0
+        while (l < LangId.profiles.length) {
+          if (LangId.profiles(l)._2.contains(toks(i))) scores(l) += 1
+          l += 1
         }
-        val norm = score / math.max(1, s.length)
-        if (norm > bestScore) { bestScore = norm; best = lang }
+        i += 1
       }
-      UTF8String.fromString(if (bestScore > 0.002) best else "und")
+      var best = 0
+      var l = 1
+      while (l < scores.length) { if (scores(l) > scores(best)) best = l; l += 1 }
+      UTF8String.fromString(
+        if (scores(best) == 0) "und" else LangId.profiles(best)._1)
     }
     override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
     override def prettyName: String = "lang_id"
   }
 
   object LangId {
-    /** Tiny high-frequency function-word/trigram profiles. */
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq(" the ", " a ", " of ", " and ", " to ", "ing ", " is ", " in "),
-      "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", "sch", " ein ", " zu "),
-      "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " des ", " que "),
-      "es" -> Seq(" el ", " la ", " los ", " y ", " es ", " una ", " que ", " de "))
+    /** Tiny high-frequency function-word profiles (SETS of whole tokens). */
+    val profiles: Seq[(String, Set[String])] = Seq(
+      "en" -> Set("the", "a", "of", "and", "to", "is", "in"),
+      "de" -> Set("der", "die", "und", "das", "ist", "ein", "zu"),
+      "fr" -> Set("le", "la", "les", "et", "est", "une", "que"),
+      "es" -> Set("el", "los", "y", "es", "una", "unos", "cada"))
   }
 }

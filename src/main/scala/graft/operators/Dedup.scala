@@ -52,13 +52,14 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** SimHash near-dup pairs: bucket by the 4 16-bit sub-bands (any pair at
-    * hamming distance <= 3 shares at least one exact sub-band — pigeonhole),
+  /** SimHash near-dup pairs: bucket by the 4 15-bit sub-bands of the 60-bit
+    * signature (any pair at hamming distance <= 3 shares at least one exact
+    * sub-band — pigeonhole, so recall is PROVABLY 1.0 at maxHamming <= 3),
     * verify by full hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
-      .withColumn("bucket", expr("(sig >> (band_idx * 16)) & 65535"))
+      .withColumn("bucket", expr("(sig >> (band_idx * 15)) & 32767"))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band_idx"), col("bucket"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band_idx"), col("bucket"))
     a.join(b, Seq("band_idx", "bucket"))
