@@ -246,6 +246,25 @@ object SparkEntry {
         .orderBy("poly_id", "x", "y")
     }),
 
+    "q38_image_invariants" -> ((s, dir) => {
+      // north_star's per-row invariants, end-to-end through the REAL codecs:
+      // synth -> encode -> decode, PSNR vs the losslessly-encoded reference
+      // (>= 40 dB for jpeg, exactly 999 = identical for png/bmp), decoded
+      // dims == table dims, caption equality. The oracle recomputes the
+      // expected booleans + caption from the table alone.
+      reg(s)
+      SynthData.images(s, dir).where(col("point_id") % 20 === 0)
+        .withColumn("bytes", image_synth(struct(col("image_id"), col("w"), col("h"), col("fmt"))))
+        .withColumn("ref_png", image_synth(struct(col("image_id"), col("w"), col("h"), lit("png"))))
+        .withColumn("px", image_decode(col("bytes")))
+        .withColumn("psnr", image_psnr(col("bytes"), col("ref_png")))
+        .select(col("image_id"), col("fmt"), col("caption"),
+          (col("px.w") === col("w") && col("px.h") === col("h")).as("dims_ok"),
+          (col("psnr") >= 40.0).as("psnr_ok"),
+          (col("fmt") === "jpg" || col("psnr") === 999.0).as("lossless_exact"))
+        .orderBy("image_id")
+    }),
+
     // ---- spatial join / kNN / tiles ----
     "q15_spatial_join" -> ((s, dir) => {
       reg(s)
@@ -446,6 +465,12 @@ object SparkEntry {
           "count(*) AS images FROM pts p JOIN polys pl ON " +
           "p.lon > pl.x0 AND p.lon < pl.x0 + pl.w AND p.lat > pl.y0 AND p.lat < pl.y0 + pl.h " +
           "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+      "q38_image_invariants" ->
+        (P + "SELECT printf('img-%09d', point_id) AS image_id, " +
+          "CASE CAST(point_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpg' END AS fmt, " +
+          "'caption for img-' || point_id || ' seed 42' AS caption, " +
+          "true AS dims_ok, true AS psnr_ok, true AS lossless_exact " +
+          "FROM pts WHERE point_id % 20 = 0 ORDER BY image_id"),
       "q15_spatial_join" ->
         (P + "SELECT p.point_id, y.poly_id FROM pts p JOIN polys y ON " +
           "p.lon > y.x0 AND p.lon < y.x0 + y.w AND p.lat > y.y0 AND p.lat < y.y0 + y.h " +

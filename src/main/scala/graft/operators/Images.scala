@@ -34,10 +34,14 @@ object Images {
   ImageIO.setUseCache(false)
 
   /** Deterministic RGB for pixel (x, y) of image `id` — smooth gradients
-    * (JPEG-friendly) with id-seeded phase. */
+    * (JPEG-friendly) with id-seeded phase. The sinusoid wavelength is a
+    * FIXED 96 px (not normalized to image size): small thumbnails stay as
+    * smooth as large frames, keeping the north_star PSNR >= 40 dB invariant
+    * true at every size (4:2:0 chroma subsampling of a size-normalized
+    * pattern broke it below ~32 px: measured 27-31 dB). */
   @inline def pixel(idHash: Long, x: Int, y: Int, w: Int, h: Int): Int = {
-    val fx = x.toDouble / w
-    val fy = y.toDouble / h
+    val fx = x.toDouble / 96.0
+    val fy = y.toDouble / 96.0
     val p1 = ((idHash & 0xff) / 255.0) * 6.283
     val p2 = (((idHash >> 8) & 0xff) / 255.0) * 6.283
     val r = (127.5 + 127.0 * math.sin(6.283 * fx + p1)).toInt
