@@ -104,20 +104,27 @@ object Pipeline {
 
     // semi-join pushed BELOW the decode, without shuffling bytes: the
     // matched-id set is reduced to a fixed-size Bloom filter (broadcastable
-    // no matter how many images matched), so with a selective polygon layer
+    // no matter how many images matched), so with a SELECTIVE polygon layer
     // decode work is proportional to matches, not corpus size. False
     // positives only waste a decode — the exact inner join on matchCnt
-    // below removes them from the output.
-    val bloomBytes = graft.functions.sketchexprs.toBytes(
-      matchCnt.stat.bloomFilter(xxhash64(col("image_id")), math.max(nMatched, 1L), 0.02))
+    // below removes them from the output. Runtime-adaptive: when most
+    // images match anyway (dense layer), the filter can't save decode work,
+    // so skip building/applying it and keep the stage overhead at zero.
+    val selective = nMatched < (nImages / 2)
+    val bloomBytes =
+      if (!selective) Array.empty[Byte]
+      else graft.functions.sketchexprs.toBytes(
+        matchCnt.stat.bloomFilter(xxhash64(col("image_id")), math.max(nMatched, 1L), 0.02))
 
     // raster-tile assignment: decode pixels and map 8x8 blocks of the
     // footprint bbox (centroid +- half a pixel-degree extent) to tiles —
     // a NARROW stage straight off the parquet scan (bytes never shuffle,
     // nothing broadcast: matchCnt grows with the corpus, so the combine is
     // a skinny shuffle join on image_id instead of a driver-side broadcast)
-    val tilesPerImage = pts
-      .where(bloom_contains(bloomBytes, xxhash64(col("image_id"))))
+    val ptsPruned =
+      if (selective) pts.where(bloom_contains(bloomBytes, xxhash64(col("image_id"))))
+      else pts
+    val tilesPerImage = ptsPruned
       .withColumn("half_w", col("w").cast("double") / 2.0 / 1000.0)
       .withColumn("half_h", col("h").cast("double") / 2.0 / 1000.0)
       .withColumn("px", image_decode(col("bytes")))

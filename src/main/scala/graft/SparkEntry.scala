@@ -246,6 +246,20 @@ object SparkEntry {
         .orderBy("poly_id", "x", "y")
     }),
 
+    "q39_us_cities" -> ((s, dir) => {
+      // the reference's us_cities demo flow (tests/testthat/test-point.R:27,
+      // test-multipoint.R:17): vectorized point constructor over a city
+      // table + grouped multipoint per state
+      reg(s)
+      val cities = SynthData.usCities(s, dir)
+        .withColumn("pt_wkt", st_point_wkt(col("lon"), col("lat"), 16))
+      cities.groupBy("country_etc")
+        .agg(count(lit(1)).as("n_cities"), sum(col("pop")).as("pop"),
+          sort_array(collect_list(struct(col("name"), col("lon"), col("lat")))).as("cs"))
+        .select(col("country_etc"), col("n_cities"), col("pop"),
+          st_multipoint_wkt(expr("transform(cs, c -> array(c.lon, c.lat))"), 16).as("mp_wkt"))
+        .orderBy("country_etc")
+    }),
     "q38_image_invariants" -> ((s, dir) => {
       // north_star's per-row invariants, end-to-end through the REAL codecs:
       // synth -> encode -> decode, PSNR vs the losslessly-encoded reference
@@ -465,6 +479,11 @@ object SparkEntry {
           "count(*) AS images FROM pts p JOIN polys pl ON " +
           "p.lon > pl.x0 AND p.lon < pl.x0 + pl.w AND p.lat > pl.y0 AND p.lat < pl.y0 + pl.h " +
           "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+      "q39_us_cities" ->
+        ("WITH cities AS (" + SynthData.usCitiesCte + ") " +
+          "SELECT country_etc, count(*) AS n_cities, CAST(sum(pop) AS BIGINT) AS pop, " +
+          "'MULTIPOINT (' || string_agg('(' || printf('%.16f', lon) || ' ' || printf('%.16f', lat) || ')', ', ' ORDER BY name) || ')' AS mp_wkt " +
+          "FROM cities GROUP BY 1 ORDER BY country_etc"),
       "q38_image_invariants" ->
         (P + "SELECT printf('img-%09d', point_id) AS image_id, " +
           "CASE CAST(point_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpg' END AS fmt, " +

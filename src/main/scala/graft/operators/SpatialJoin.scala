@@ -44,6 +44,9 @@ object SpatialJoin {
       .withColumn("cov", explode(st_cover(col("geom"), level)))
       .withColumn("cell", col("cov.cell"))
       .withColumn("full", col("cov.full"))
+      // interior (full) cells never ray-cast: drop their ring payload so the
+      // broadcast/shuffle carries rings only for boundary cells
+      .withColumn("rings", when(col("full"), lit(null)).otherwise(col("rings")))
       .drop("cov", "geom")
 
   /** points(pointCols..., lon, lat) ⋈ polys(polyCols..., geom) -> matches.
@@ -104,14 +107,23 @@ object SpatialJoin {
     if (hotCells.isEmpty) {
       refined(pts.join(cover, "cell"))
     } else {
-      // broadcast hash semi/anti joins against the (small) hot-cell frame:
-      // constant plan size regardless of |hotCells| (vs isin literal lists)
-      val hotDf = broadcast(hotCells.toSeq.toDF("cell"))
-      val coldJoin = pts.join(hotDf, Seq("cell"), "left_anti")
-        .join(cover.join(hotDf, Seq("cell"), "left_anti"), "cell")
-      val hotPts = pts.join(hotDf, Seq("cell"), "left_semi")
+      // hot/cold split predicates: a codegen'd literal isin for small hot
+      // sets (zero extra exchanges), broadcast hash semi/anti joins for
+      // large ones (constant plan size regardless of |hotCells|)
+      val (isHot, isCold): (DataFrame => DataFrame, DataFrame => DataFrame) =
+        if (hotCells.size <= 32) {
+          val lits = hotCells.toSeq
+          ((df: DataFrame) => df.where(col("cell").isin(lits: _*)),
+            (df: DataFrame) => df.where(!col("cell").isin(lits: _*)))
+        } else {
+          val hotDf = broadcast(hotCells.toSeq.toDF("cell"))
+          ((df: DataFrame) => df.join(hotDf, Seq("cell"), "left_semi"),
+            (df: DataFrame) => df.join(hotDf, Seq("cell"), "left_anti"))
+        }
+      val coldJoin = isCold(pts).join(isCold(cover), "cell")
+      val hotPts = isHot(pts)
         .withColumn("salt", pmod(hash(col("point_id")), lit(salt)))
-      val hotCover = cover.join(hotDf, Seq("cell"), "left_semi")
+      val hotCover = isHot(cover)
         .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
       val hotJoin = hotPts.join(hotCover, Seq("cell", "salt"))
       refined(coldJoin).unionByName(refined(hotJoin))

@@ -99,6 +99,28 @@ object SynthData {
       .withColumn("w", (col("point_id") % 3 * 16 + 16).cast("int"))
       .withColumn("h", (col("point_id") % 2 * 16 + 16).cast("int"))
 
+  /** `us_cities`-SHAPED demo fixture (reference R/wellknown-package.R:17-24:
+    * name, country.etc, pop, lat, long, capital) — synthesized
+    * deterministically from `nation` rather than copying the reference's
+    * bundled data. Column `country_etc` stands in for R's `country.etc`
+    * (dots are not valid Spark identifiers). */
+  val usCitiesCte: String =
+    "SELECT 'city-' || n_nationkey AS name, 'ST' || CAST(n_nationkey % 7 AS INT) AS country_etc, " +
+      "CAST((n_nationkey * 7919) % 900000 + 1000 AS BIGINT) AS pop, " +
+      "CAST((n_nationkey * 4231) % 24000 AS DOUBLE) / 1000.0 + 25.0 AS lat, " +
+      "CAST((n_nationkey * 7127) % 57000 AS DOUBLE) / 1000.0 - 124.0 AS lon, " +
+      "CAST(n_nationkey % 3 AS INT) AS capital FROM nation"
+
+  def usCities(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+      .select(
+        concat(lit("city-"), col("n_nationkey")).as("name"),
+        concat(lit("ST"), (col("n_nationkey") % 7).cast("int")).as("country_etc"),
+        expr("CAST((n_nationkey * 7919) % 900000 + 1000 AS BIGINT)").as("pop"),
+        expr("CAST((n_nationkey * 4231) % 24000 AS DOUBLE) / 1000.0 + 25.0").as("lat"),
+        expr("CAST((n_nationkey * 7127) % 57000 AS DOUBLE) / 1000.0 - 124.0").as("lon"),
+        expr("CAST(n_nationkey % 3 AS INT)").as("capital"))
+
   def imagesFrom(pts: DataFrame): DataFrame =
     pts
       .withColumn("image_id", format_string("img-%09d", col("point_id")))

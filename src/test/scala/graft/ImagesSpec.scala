@@ -64,6 +64,28 @@ class ImagesSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("sparse polygon layer: bloom-pruned decode, pixel totals match the matched set") {
+    val work = java.nio.file.Files.createTempDirectory("pipe-sparse").toString
+    Pipeline.prepare(spark, "/root/testdata/sf0.001", work)
+    // overwrite the layer with ONE small polygon -> selective (engages the
+    // bloom semi-join below the decode; exact join removes false positives)
+    Seq((1L, "POLYGON ((0 0, 8 0, 8 6, 0 6, 0 0))")).toDF("poly_id", "wkt")
+      .write.mode("overwrite").parquet(s"$work/polygons")
+    val (tiles, n) = Pipeline.run(spark, work)
+    assert(tiles > 0)
+    val matched = graft.sources.SynthData.images(spark, "/root/testdata/sf0.001")
+      .where($"lon" > 0 && $"lon" < 8 && $"lat" > 0 && $"lat" < 6)
+    val mCount = matched.count()
+    assert(mCount > 0 && mCount < n / 2, "layer must be selective for this test")
+    // each matched image matches exactly one polygon (n_matches = 1), so
+    // total weighted pixels across tiles == sum of matched images' w*h
+    // (pixel conservation through the block explode)
+    val gotPixels = Snapshots.readData(spark, s"$work/tile_stats")
+      .agg(sum("pixels")).collect()(0).getLong(0)
+    val wantPixels = matched.agg(sum($"w".cast("long") * $"h")).collect()(0).getLong(0)
+    assert(gotPixels == wantPixels, s"pixels $gotPixels != matched-set pixels $wantPixels")
+  }
+
   test("snapshot write + lineage + idempotent resume") {
     val dir = java.nio.file.Files.createTempDirectory("snap").toString
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
