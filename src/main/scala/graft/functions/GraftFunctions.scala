@@ -58,6 +58,7 @@ object GraftFunctions {
       a(0).eval(null).asInstanceOf[Array[Byte]], a(1))),
     "vec_dot" -> arity(2, a => vecexprs.VecDot(a(0), a(1))),
     "vec_norm2" -> arity(1, a => vecexprs.VecNorm2(a(0))),
+    "sig_agree" -> arity(2, a => vecexprs.SigAgree(a(0), a(1))),
     "minhash" -> arity(3, a => textexprs.MinHash(a(0), a(1), a(2))),
     "lsh_bands" -> arity(2, a => textexprs.LshBands(a(0), a(1))),
     "simhash" -> arity(1, a => textexprs.SimHash(a(0))),
@@ -138,6 +139,7 @@ object GraftFunctions {
     call_function("bloom_contains", lit(filterBytes), key)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_norm2(v: Column): Column = call_function("vec_norm2", v)
+  def sig_agree(a: Column, b: Column): Column = call_function("sig_agree", a, b)
   def minhash(text: Column, n: Int, shingleWidth: Int = 3): Column =
     call_function("minhash", text, lit(n), lit(shingleWidth))
   def lsh_bands(sig: Column, bands: Int): Column = call_function("lsh_bands", sig, lit(bands))

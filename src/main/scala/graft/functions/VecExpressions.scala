@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Dense-vector kernels for the embedding pipeline (ANN / near-dup cosine).
   *
@@ -52,6 +52,40 @@ object vecexprs {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
       copy(left = l, right = r)
     override def prettyName: String = "vec_dot"
+  }
+
+  /** Number of positions where two long arrays agree (minhash signature
+    * verify — runs once per candidate pair, so codegen'd like VecDot). */
+  case class SigAgree(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) s += 1; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $s = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $s++;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+      copy(left = l, right = r)
+    override def prettyName: String = "sig_agree"
   }
 
   /** squared L2 norm: dot(v, v). */

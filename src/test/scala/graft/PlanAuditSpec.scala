@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Dedup, SpatialJoin}
+import graft.sources.SynthData
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape audit: the properties that make the operators safe at
+  * 100x the data are asserted on `explain` output, not just prose —
+  * broadcast goes to the SMALL side, payload columns are pruned at the scan,
+  * aggregations keep their map-side partial step, and nothing degenerates
+  * into a cartesian product.
+  */
+class PlanAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("spatial join: cover side broadcast, no cartesian, raycast after equijoin") {
+    val polys = SynthData.polygons(spark, dir)
+      .withColumn("geom", st_geomfromtext(col("wkt"))).select("poly_id", "geom")
+    val p = plan(SpatialJoin.pointsInPolygons(
+      SynthData.points(spark, dir), polys, level = 10, broadcastCover = Some(true)))
+    assert(p.contains("BroadcastHashJoin"), "cover must broadcast-hash-join")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(p.contains("st_contains_rings"), "raycast refinement present as a filter")
+  }
+
+  test("pipeline probe side: bytes/caption pruned from the join scan") {
+    val images = SynthData.images(spark, dir)
+      .withColumn("bytes", lit(Array[Byte](1, 2, 3)))
+      .withColumn("footprint_wkt", st_point_wkt(col("lon"), col("lat"), 16))
+    val pts = images
+      .withColumn("c", st_centroid(st_geomfromtext(col("footprint_wkt"))))
+      .select(col("image_id"), col("c.lon").as("lon"), col("c.lat").as("lat"))
+    val polys = SynthData.polygons(spark, dir)
+      .withColumn("geom", st_geomfromtext(col("wkt"))).select("poly_id", "geom")
+    val joined = SpatialJoin.pointsInPolygons(pts, polys, level = 10, broadcastCover = Some(true))
+    val analyzed = joined.queryExecution.optimizedPlan.toString()
+    assert(!analyzed.contains("bytes") && !analyzed.contains("caption"),
+      "payload columns must be pruned below the join")
+  }
+
+  test("exact dedup: partial (map-side) aggregation precedes the shuffle") {
+    val p = plan(Dedup.exactKeep(
+      spark.read.parquet(s"$dir/documents.parquet").withColumn("key", substring(col("text"), 1, 8)),
+      "doc_id", "key"))
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate expected")
+    assert(p.contains("Exchange hashpartitioning"), "hash shuffle on the dedup key")
+  }
+
+  test("blocked cosine join: no broadcast of the corpus, block-pair key join") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Ann.cosineDupPairs(e, 0.4, blocks = 8))
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(p.contains("vec_dot"), "codegen'd dot kernel in the verify")
+    // the only broadcasts are the tiny block-pair frames (and possibly an
+    // AQE-converted small side at this SF) — never a crossJoin of the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no nested-loop broadcast join")
+  }
+
+  test("tile counts: single shuffle with partial aggregation") {
+    val p = plan(SpatialJoin.tileCounts(SynthData.points(spark, dir), 6))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, "exactly one shuffle")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine expected")
+  }
+
+  test("parquet scan prunes columns for a two-column projection") {
+    val df = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"scan must read only the projected columns, got:\n${p.take(800)}")
+  }
+}
