@@ -260,6 +260,23 @@ object SparkEntry {
           st_multipoint_wkt(expr("transform(cs, c -> array(c.lon, c.lat))"), 16).as("mp_wkt"))
         .orderBy("country_etc")
     }),
+    "q40_dirty_parse" -> ((s, dir) => {
+      // web-scale dirty input through the tolerance contract (SURVEY 2.4):
+      // lowercase keyword, missing closing paren, and runs of spaces all
+      // parse; an unknown type yields NULL via st_try_geomfromtext
+      reg(s)
+      polys(s, dir)
+        .withColumn("dirty",
+          when(col("poly_id") % 5 === 0, lower(col("wkt")))
+            .when(col("poly_id") % 5 === 1, expr("substring(wkt, 1, length(wkt) - 1)"))
+            .when(col("poly_id") % 5 === 2, lit("SQUARE (1 2, 3 4)"))
+            .when(col("poly_id") % 5 === 3, regexp_replace(col("wkt"), ", ", ",   "))
+            .otherwise(col("wkt")))
+        .select(col("poly_id"),
+          coalesce(st_astext(st_try_geomfromtext(col("dirty")), 0), lit("<invalid>"))
+            .as("parsed"))
+        .orderBy("poly_id")
+    }),
     "q38_image_invariants" -> ((s, dir) => {
       // north_star's per-row invariants, end-to-end through the REAL codecs:
       // synth -> encode -> decode, PSNR vs the losslessly-encoded reference
@@ -479,6 +496,9 @@ object SparkEntry {
           "count(*) AS images FROM pts p JOIN polys pl ON " +
           "p.lon > pl.x0 AND p.lon < pl.x0 + pl.w AND p.lat > pl.y0 AND p.lat < pl.y0 + pl.h " +
           "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+      "q40_dirty_parse" ->
+        (P + s"SELECT poly_id, CASE WHEN poly_id % 5 = 2 THEN '<invalid>' " +
+          s"ELSE 'POLYGON ((' || $ringSpaced || '))' END AS parsed FROM polys ORDER BY poly_id"),
       "q39_us_cities" ->
         ("WITH cities AS (" + SynthData.usCitiesCte + ") " +
           "SELECT country_etc, count(*) AS n_cities, CAST(sum(pop) AS BIGINT) AS pop, " +
