@@ -127,7 +127,7 @@ object Pipeline {
     val tilesPerImage = ptsPruned
       .withColumn("half_w", col("w").cast("double") / 2.0 / 1000.0)
       .withColumn("half_h", col("h").cast("double") / 2.0 / 1000.0)
-      .withColumn("px", image_decode(col("bytes")))
+      .withColumn("px", image_decode_dims(col("bytes")))
       .withColumn("tb", explode(image_tile_blocks(struct(
         (col("lon") - col("half_w")).as("lon_min"),
         (col("lat") - col("half_h")).as("lat_min"),

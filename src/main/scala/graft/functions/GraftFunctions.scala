@@ -66,6 +66,7 @@ object GraftFunctions {
     "doc_fingerprint" -> arity(2, a => textexprs.Fingerprint(a(0), a(1))),
     "lang_id" -> arity(1, a => textexprs.LangId(a(0))),
     "image_decode" -> arity(1, a => graft.operators.Images.ImageDecode(a(0))),
+    "image_decode_dims" -> arity(1, a => graft.operators.Images.ImageDecodeDims(a(0))),
     "image_synth" -> arity(1, a => graft.operators.Images.ImageSynth(a(0))),
     "image_psnr" -> arity(2, a => graft.operators.Images.ImagePsnr(a(0), a(1))),
     "image_phash" -> arity(1, a => graft.operators.Images.ImagePHash(a(0))),
@@ -149,6 +150,7 @@ object GraftFunctions {
     call_function("doc_fingerprint", text, lit(k))
   def lang_id(text: Column): Column = call_function("lang_id", text)
   def image_decode(bytes: Column): Column = call_function("image_decode", bytes)
+  def image_decode_dims(bytes: Column): Column = call_function("image_decode_dims", bytes)
   def image_synth(args: Column): Column = call_function("image_synth", args)
   def image_psnr(a: Column, b: Column): Column = call_function("image_psnr", a, b)
   def image_phash(bytes: Column): Column = call_function("image_phash", bytes)

@@ -290,6 +290,27 @@ object Images {
     override def prettyName: String = "image_psnr"
   }
 
+  /** Decode to dimensions only: runs the FULL decode (same codecs and
+    * validation as [[ImageDecode]]) but skips copying the pixel array into
+    * Catalyst format — the pipeline's tile-assignment stage needs decoded
+    * (w, h) and block geometry, not per-pixel values (those are verified by
+    * the q38 invariants / ImagesSpec). Saves a ~4 KB UnsafeArrayData
+    * allocation + copy per image in the hottest stage. */
+  case class ImageDecodeDims(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val d = decodeToPixels(input.asInstanceOf[Array[Byte]])
+      if (d == null) return null
+      InternalRow(d.w, d.h)
+    }
+    override protected def withNewChildInternal(c: Expression): ImageDecodeDims = copy(child = c)
+    override def prettyName: String = "image_decode_dims"
+  }
+
   /** Perceptual hash of an encoded image. */
   case class ImagePHash(child: Expression)
       extends UnaryExpression with CodegenFallback {

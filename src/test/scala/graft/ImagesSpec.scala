@@ -17,6 +17,13 @@ class ImagesSpec extends SparkTestBase {
       val back = Images.decode(Images.encode(img, fmt))
       assert(Images.psnr(img, back).isInfinity, s"$fmt must be lossless")
     }
+    // smallest sizes are the chroma-subsampling worst case: the fixed
+    // 96-px pattern wavelength must keep them over the 40 dB invariant
+    for ((w, h) <- Seq((16, 16), (16, 48), (32, 32))) {
+      val im = Images.render(s"img-small-$w-$h", w, h)
+      val p = Images.psnr(im, Images.decode(Images.encode(im, "jpg")))
+      assert(p >= 40.0, s"JPEG PSNR $p below 40 dB at ${w}x$h")
+    }
     val img = Images.render("img-x2", 64, 48)
     val p = Images.psnr(img, Images.decode(Images.encode(img, "jpg")))
     assert(p >= 40.0, s"JPEG PSNR $p below 40 dB")
