@@ -52,12 +52,16 @@ object Dedup {
           .as(Seq("band_idx", "bucket")))
     val a = withBands.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band_idx"), col("bucket"))
     val b = withBands.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band_idx"), col("bucket"))
+    // verify INSIDE the band join (codegen'd sig_agree, no materialization),
+    // so the dedup shuffle only carries surviving pairs — on hub-heavy
+    // corpora the candidate set approaches all-pairs while survivors stay
+    // tiny, and deduping candidates first would be the dominant shuffle
     a.join(b, Seq("band_idx", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard",
         sig_agree(col("sig_a"), col("sig_b")).cast("double") / lit(numHashes))
       .where(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -73,9 +77,9 @@ object Dedup {
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band_idx"), col("bucket"))
     a.join(b, Seq("band_idx", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming_dist(col("sig_a"), col("sig_b")))
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= maxHamming) // verify before dedup: tiny shuffle
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 
