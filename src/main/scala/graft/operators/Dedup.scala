@@ -111,10 +111,13 @@ object Dedup {
       .withColumn("sz", size(col("toks")))
 
   /** Dictionary/bitmask plan (vocab <= 64): every token set becomes a long
-    * bitmask; identical masks are grouped (so duplicate documents cost one
-    * comparison, not |group|^2); distinct masks meet in the same
-    * 1-Bucket-Theta blocked self-join used by
-    * [[graft.operators.Ann.cosineDupPairs]]; the Jaccard test is
+    * bitmask; the blocked 1-Bucket-Theta self-join (same shape as
+    * [[graft.operators.Ann.cosineDupPairs]]) runs over DISTINCT masks only
+    * — duplicate documents cost one comparison, not |group|^2 — and
+    * qualifying mask pairs are expanded back to document pairs with two
+    * skinny shuffle joins (never a collect_list: a million-document
+    * duplicate group stays a million ROWS, not one giant array row; AQE
+    * skew-join splits hot masks). The Jaccard test is
     * popcount(a&b)/popcount(a|b) — identical integers to
     * |intersect|/|union| on the raw sets, so the threshold decision is
     * bit-identical to the naive plan. */
@@ -123,40 +126,45 @@ object Dedup {
     val spark = toks.sparkSession
     import spark.implicits._
     val vmap = typedLit(vocab.sorted.zipWithIndex.toMap)
-    val masks = toks
+    val withMask = toks
       .withColumn("mask", aggregate(col("toks"), lit(0L),
         (acc, t) => acc.bitwiseOR(
           call_function("shiftleft", lit(1L), element_at(vmap, t)))))
-      .groupBy("mask").agg(collect_list(col("id")).as("ids"))
+      .select("id", "mask")
+    val masks = withMask.select("mask").distinct()
 
-    // same-mask pairs: J = 1.0 by construction
-    val same = masks
-      .select(col("ids"), explode(col("ids")).as("id_a"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+    // same-mask pairs: J = 1.0 by construction (row-level self-join — no
+    // per-group array materialization)
+    val same = withMask.select(col("mask"), col("id").as("id_a"))
+      .join(withMask.select(col("mask"), col("id").as("id_b")), "mask")
       .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", lit(1.0))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
 
     // distinct-mask pairs: blocked self-join, one popcount per pair
     val withBlk = masks.withColumn("blk", pmod(hash(col("mask")), lit(blocks)))
     val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
       .toDF("ba", "bb")
     val lhs = withBlk.join(broadcast(blockPairs), col("blk") === col("ba"))
-      .select(col("ba"), col("bb"), col("mask").as("m_l"), col("ids").as("ids_l"))
+      .select(col("ba"), col("bb"), col("mask").as("m_l"))
     val rhs = withBlk.join(broadcast(blockPairs), col("blk") === col("bb"))
-      .select(col("ba"), col("bb"), col("mask").as("m_r"), col("ids").as("ids_r"))
-    val cross = lhs.join(rhs, Seq("ba", "bb"))
+      .select(col("ba"), col("bb"), col("mask").as("m_r"))
+    val maskPairs = lhs.join(rhs, Seq("ba", "bb"))
       .where(col("m_l") =!= col("m_r") &&
         (col("ba") =!= col("bb") || col("m_l") < col("m_r")))
       .withColumn("jaccard",
         bit_count(col("m_l").bitwiseAND(col("m_r"))).cast("double") /
           bit_count(col("m_l").bitwiseOR(col("m_r"))).cast("double"))
       .where(col("jaccard") >= threshold)
-      .select(explode(col("ids_l")).as("id_l"), col("ids_r"), col("jaccard"))
-      .select(col("id_l"), explode(col("ids_r")).as("id_r"), col("jaccard"))
+      .select("m_l", "m_r", "jaccard")
+
+    // expand qualifying mask pairs to document pairs (skinny joins)
+    val cross = maskPairs
+      .join(withMask.select(col("mask").as("m_l"), col("id").as("id_l")), "m_l")
+      .join(withMask.select(col("mask").as("m_r"), col("id").as("id_r")), "m_r")
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("jaccard"))
 
-    same.select("id_a", "id_b", "jaccard").unionByName(cross)
+    same.unionByName(cross)
   }
 
   /** PPJoin-style prefix-filtered plan (general vocabularies —
