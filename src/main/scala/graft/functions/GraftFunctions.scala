@@ -74,7 +74,13 @@ object GraftFunctions {
   )
 
   /** Idempotent per session: skips silently when the family is already
-    * registered (avoids per-query "function X replaced" warning spam). */
+    * registered (avoids per-query "function X replaced" warning spam).
+    *
+    * Note: Spark 4.1 ships an embryonic `expressions.st` package whose
+    * ST_GeomFromWKB collides with our `st_geomfromwkb`; the session-registry
+    * registration deliberately shadows it (one "replaced" log line per new
+    * session) because ours returns THIS engine's geometry struct, which the
+    * whole st_* family composes over. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(FunctionIdentifier(registry.last._1))) return
