@@ -16,27 +16,32 @@ class RoundTripPropSpec extends AnyFunSuite {
   private def coord(rnd: scala.util.Random): Double =
     (rnd.nextInt(360001) - 180000) / 1000.0 // [-180.000, 180.000] milli-deg
 
-  private def pos(rnd: scala.util.Random): Vector[Double] =
-    Vector(coord(rnd), coord(rnd))
+  // per-geometry dimensionality 2..4 (reference accepts X Y [Z [M]] —
+  // R/wkt2geojson.R:47, R/lint.R:97-107); POINT stays 2-D like point.numeric
+  private def pos(rnd: scala.util.Random, dim: Int): Vector[Double] =
+    Vector.fill(dim)(coord(rnd))
 
-  private def ring(rnd: scala.util.Random): Vector[Vector[Double]] = {
+  private def ring(rnd: scala.util.Random, dim: Int): Vector[Vector[Double]] = {
     val n = 3 + rnd.nextInt(5)
-    val pts = Vector.fill(n)(pos(rnd))
+    val pts = Vector.fill(n)(pos(rnd, dim))
     pts :+ pts.head // closed
   }
 
-  private def randomGeom(rnd: scala.util.Random): Geom = rnd.nextInt(7) match {
-    case 0 => Geom.point(pos(rnd))
-    case 1 => Geom.lineString(Vector.fill(2 + rnd.nextInt(6))(pos(rnd)))
-    case 2 => Geom.polygon(Vector.fill(1 + rnd.nextInt(3))(ring(rnd)))
-    case 3 => Geom.multiPoint(Vector.fill(1 + rnd.nextInt(6))(pos(rnd)))
-    case 4 => Geom.multiLineString(Vector.fill(1 + rnd.nextInt(3))(
-      Vector.fill(2 + rnd.nextInt(4))(pos(rnd))))
-    case 5 => Geom.multiPolygon(Vector.fill(1 + rnd.nextInt(3))(
-      Vector.fill(1 + rnd.nextInt(2))(ring(rnd))))
-    case _ => Geom.collection(Vector(
-      Geom.point(pos(rnd)),
-      Geom.lineString(Vector.fill(3)(pos(rnd)))))
+  private def randomGeom(rnd: scala.util.Random): Geom = {
+    val dim = 2 + rnd.nextInt(3)
+    rnd.nextInt(7) match {
+      case 0 => Geom.point(pos(rnd, 2))
+      case 1 => Geom.lineString(Vector.fill(2 + rnd.nextInt(6))(pos(rnd, dim)))
+      case 2 => Geom.polygon(Vector.fill(1 + rnd.nextInt(3))(ring(rnd, dim)))
+      case 3 => Geom.multiPoint(Vector.fill(1 + rnd.nextInt(6))(pos(rnd, dim)))
+      case 4 => Geom.multiLineString(Vector.fill(1 + rnd.nextInt(3))(
+        Vector.fill(2 + rnd.nextInt(4))(pos(rnd, dim))))
+      case 5 => Geom.multiPolygon(Vector.fill(1 + rnd.nextInt(3))(
+        Vector.fill(1 + rnd.nextInt(2))(ring(rnd, dim))))
+      case _ => Geom.collection(Vector(
+        Geom.point(pos(rnd, 2)),
+        Geom.lineString(Vector.fill(3)(pos(rnd, dim)))))
+    }
   }
 
   test("WKT write -> parse -> write is a fixed point (1000 random geometries)") {
