@@ -111,10 +111,18 @@ object Pipeline {
     // images match anyway (dense layer), the filter can't save decode work,
     // so skip building/applying it and keep the stage overhead at zero.
     val selective = nMatched < (nImages / 2)
+    // expectedNumItems is CAPPED: sizing by nMatched alone would make the
+    // driver-built literal grow ~10 bits per matched image (1.2 GB at 10^9
+    // matches — a driver/plan-size scale-killer on exactly the selective
+    // inputs this pushdown targets). Past the cap the fpp degrades
+    // gracefully instead: false positives only waste a decode, and the
+    // exact matchCnt join below removes them from the output.
+    val bloomCap = 64L << 20 // ~64 MB of filter at 2% fpp
     val bloomBytes =
       if (!selective) Array.empty[Byte]
       else graft.functions.sketchexprs.toBytes(
-        matchCnt.stat.bloomFilter(xxhash64(col("image_id")), math.max(nMatched, 1L), 0.02))
+        matchCnt.stat.bloomFilter(xxhash64(col("image_id")),
+          math.min(math.max(nMatched, 1L), bloomCap), 0.02))
 
     // raster-tile assignment: decode pixels and map 8x8 blocks of the
     // footprint bbox (centroid +- half a pixel-degree extent) to tiles —

@@ -3,7 +3,7 @@ package graft
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
 import graft.operators.{Ann, Dedup, Knn, SpatialJoin}
-import graft.sources.SynthData
+import graft.sources.{Snapshots, SynthData}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -376,10 +376,11 @@ object SparkEntry {
     }),
     "q26_fingerprint" -> ((s, dir) => {
       reg(s)
+      // rolling_fp is EMITTED and hash-compared: the fingerprint is the
+      // portable md5-min over 16-char windows, recomputed verbatim in SQL
       t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("md5_fp"),
           doc_fingerprint(col("text"), 16).as("rolling_fp"))
-        .select("doc_id", "md5_fp") // rolling_fp exercised but not emitted (no SQL oracle)
         .orderBy("doc_id")
     }),
     "q27_jaccard_pairs" -> ((s, dir) => {
@@ -392,6 +393,91 @@ object SparkEntry {
       reg(s)
       Ann.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy("id_a", "id_b")
+    }),
+    "q41_ann_ivf" -> ((s, dir) => {
+      // the SCALE-PATH ANN query: exact IVF with triangle-inequality cell
+      // pruning (bucketed equijoin plan, corpus never broadcast), checked
+      // against the same brute-force oracle shape as q22 — recall is
+      // provably 1.0, so the hash compare must match bit-for-bit
+      reg(s)
+      val e = t(s, dir, "embeddings")
+      Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10,
+          centroidEvery = 50, nProbe = 3)
+        .select(col("query_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy("query_id", "rnk")
+    }),
+    "q42_snapshot_resume" -> ((s, dir) => {
+      // checkpointed-lineage pillar, driver-checked end-to-end: snapshot 1
+      // is committed in two runs — run 1 stops after 3 of 8 partitions (a
+      // deterministic mid-snapshot crash: lineage rows exist, CURRENT does
+      // not move), run 2 resumes and completes. The emitted manifest
+      // (part_id, row_count, re-counted data rows) must equal what SQL
+      // computes from the source table alone — portable `key % 8`
+      // partitioning makes that recomputable.
+      reg(s)
+      val work = "/tmp/graft-q42-" + dir.replaceAll("[^0-9a-zA-Z.]", "")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(work)) // clean slate: the query is self-contained
+      val df = t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
+      Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,
+        keyCol = "event_id", operation = "init", portableParts = true,
+        maxPartsPerRun = 3) // "crash" after 3 partitions
+      require(Snapshots.currentSnapshot(work).isEmpty,
+        "partial run must NOT flip CURRENT")
+      Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,
+        keyCol = "event_id", operation = "init", portableParts = true) // resume
+      require(Snapshots.currentSnapshot(work).contains(1L),
+        "resumed run must complete the snapshot")
+      val meta = Snapshots.readPartitionMeta(s, work)
+        .where(col("snapshot_id") === 1L)
+        .select(col("part_id").cast("long").as("part_id"), col("row_count"))
+      val data = Snapshots.readData(s, work)
+        .groupBy(col("part_id").cast("long").as("part_id"))
+        .agg(count(lit(1)).as("data_rows"))
+      meta.join(data, "part_id")
+        .select(lit(1L).as("snapshot_id"), col("part_id"), col("row_count"), col("data_rows"))
+        .orderBy("part_id")
+    }),
+    "q43_image_phash_blocks" -> ((s, dir) => {
+      // the last two image subops, oracle-pinned via payload invariants:
+      // block-mean phash agrees exactly across the lossless codecs (png ==
+      // bmp: identical pixels), stays within a small hamming distance of
+      // the jpeg encode (PSNR >= 40 dB content), and the raster tile-block
+      // decomposition conserves pixels (sum(px_count) == w*h, with decoded
+      // dims feeding the block geometry like the flagship pipeline)
+      reg(s)
+      val mk = (f: String) => image_synth(struct(col("image_id"), col("w"), col("h"), lit(f)))
+      SynthData.images(s, dir).where(col("point_id") % 20 === 1)
+        .withColumn("png", mk("png")).withColumn("bmp", mk("bmp")).withColumn("jpg", mk("jpg"))
+        .withColumn("ph_png", image_phash(col("png")))
+        .withColumn("px", image_decode_dims(col("png")))
+        .withColumn("half_w", col("w").cast("double") / 2000.0)
+        .withColumn("half_h", col("h").cast("double") / 2000.0)
+        .withColumn("tb", image_tile_blocks(struct(
+          (col("lon") - col("half_w")).as("lon_min"),
+          (col("lat") - col("half_h")).as("lat_min"),
+          (col("lon") + col("half_w")).as("lon_max"),
+          (col("lat") + col("half_h")).as("lat_max"),
+          col("px.w"), col("px.h"), lit(8).as("z"), lit(8).as("block"))))
+        .select(col("image_id"),
+          (col("ph_png") === image_phash(col("bmp"))).as("phash_lossless_eq"),
+          (hamming_dist(col("ph_png"), image_phash(col("jpg"))) <= 10).as("phash_jpg_ok"),
+          expr("aggregate(tb, 0L, (acc, x) -> acc + x.px_count)").as("px_total"),
+          (size(col("tb")) >= 1).as("tiles_ok"))
+        .orderBy("image_id")
+    }),
+    "q44_format_num" -> ((s, dir) => {
+      // format_num / numeric=FALSE GeoJSON path (reference
+      // R/wkt2geojson.R:117-119): coordinates render as "%.{fmt}f" STRINGS
+      reg(s)
+      polys(s, dir)
+        .withColumn("g", st_geomfromtext(st_point_wkt(col("x0"), col("y0"), 0)))
+        .select(col("poly_id"),
+          st_asgeojson(col("g"), feature = false, numeric = false, fmt = 3).as("gj_str"))
+        .orderBy("poly_id")
     })
   )
 
@@ -546,7 +632,11 @@ object SparkEntry {
           "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rnk FROM pairs) " +
           "WHERE rnk <= 10 ORDER BY query_id, rnk"),
       "q26_fingerprint" ->
-        ("SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id"),
+        ("WITH pos AS (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 15, 1) + 1)) AS i FROM documents), " +
+          "fp AS (SELECT doc_id, min(CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 15) AS BIGINT)) AS rolling_fp " +
+          "FROM pos GROUP BY 1) " +
+          "SELECT d.doc_id, md5(d.text) AS md5_fp, f.rolling_fp FROM documents d " +
+          "JOIN fp f USING (doc_id) ORDER BY d.doc_id"),
       "q27_jaccard_pairs" ->
         ("WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk FROM documents), " +
           "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), " +
@@ -594,7 +684,29 @@ object SparkEntry {
           "SUM(a.x * a.x) AS na2_part FROM ev a JOIN ev b ON a.j = b.j AND a.vec_id < b.vec_id GROUP BY 1, 2), " +
           "n AS (SELECT vec_id, SUM(x * x) AS n2 FROM ev GROUP BY 1) " +
           "SELECT id_a, id_b FROM m JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b " +
-          "WHERE dot > 0 AND dot * dot >= 0.4 * 0.4 * x.n2 * y.n2 ORDER BY id_a, id_b")
+          "WHERE dot > 0 AND dot * dot >= 0.4 * 0.4 * x.n2 * y.n2 ORDER BY id_a, id_b"),
+      "q41_ann_ivf" ->
+        ("WITH ev AS (SELECT vec_id, j, floor(CAST(embedding[j] AS DOUBLE) * 1000.0) AS x " +
+          "FROM embeddings, generate_series(1, 64) t(j)), " +
+          "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+          "SUM((q.x - c.x) * (q.x - c.x)) AS dist2 FROM ev q JOIN ev c " +
+          "ON q.j = c.j AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id GROUP BY 1, 2) " +
+          "SELECT query_id, vec_id, rnk, CAST(dist2 AS BIGINT) AS dist2 FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rnk FROM pairs) " +
+          "WHERE rnk <= 10 ORDER BY query_id, rnk"),
+      "q42_snapshot_resume" ->
+        ("SELECT CAST(1 AS BIGINT) AS snapshot_id, event_id % 8 AS part_id, " +
+          "count(*) AS row_count, count(*) AS data_rows " +
+          "FROM events GROUP BY 2 ORDER BY part_id"),
+      "q43_image_phash_blocks" ->
+        (P + "SELECT printf('img-%09d', point_id) AS image_id, " +
+          "true AS phash_lossless_eq, true AS phash_jpg_ok, " +
+          "CAST((point_id % 5 * 16 + 16) * (point_id % 3 * 16 + 16) AS BIGINT) AS px_total, " +
+          "true AS tiles_ok " +
+          "FROM pts WHERE point_id % 20 = 1 ORDER BY image_id"),
+      "q44_format_num" ->
+        (P + "SELECT poly_id, '{\"type\":\"Point\",\"coordinates\":[\"' || printf('%.3f', x0) || " +
+          "'\",\"' || printf('%.3f', y0) || '\"]}' AS gj_str FROM polys ORDER BY poly_id")
     )
   }
 }

@@ -27,9 +27,13 @@ final case class Geom(
 
   /** No coordinates anywhere: covers both shape-empty nesting (MULTIPOINT
     * EMPTY -> no positions) and the empty point's single zero-length
-    * position (POINT EMPTY -> coords(0)(0)(0) == Vector.empty). */
+    * position (POINT EMPTY -> coords(0)(0)(0) == Vector.empty). A
+    * GeometryCollection is empty iff it has no parts (GEOMETRYCOLLECTION
+    * EMPTY — matches the reference's grepl("empty") semantics); one with
+    * parts is never empty here (members report their own emptiness). */
   def isEmptyGeom: Boolean =
-    typeTag != GeomType.GeometryCollection && coords.forall(_.forall(_.forall(_.isEmpty)))
+    if (typeTag == GeomType.GeometryCollection) parts.isEmpty
+    else coords.forall(_.forall(_.forall(_.isEmpty)))
 
   /** Iterator over every position in the geometry (recursing into parts). */
   def allPositions: Iterator[Vector[Double]] =

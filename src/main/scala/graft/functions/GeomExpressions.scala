@@ -125,7 +125,7 @@ object exprs {
     override def dataType: DataType = BooleanType
     override protected def nullSafeEval(input: Any): Any = {
       val g = GeomData.fromRow(input.asInstanceOf[InternalRow])
-      g.isEmptyGeom && g.parts.isEmpty
+      g.isEmptyGeom // GC: empty iff no parts; others: no coordinates anywhere
     }
     override protected def withNewChildInternal(c: Expression): StIsEmpty = copy(child = c)
     override def prettyName: String = "st_isempty"

@@ -54,10 +54,21 @@ object GraftFunctions {
     "st_ring_cells" -> arity(4, a => E.StRingCells(a)),
     "st_tile_x" -> arity(2, a => E.StTileX(a(0), a(1))),
     "st_tile_y" -> arity(2, a => E.StTileY(a(0), a(1))),
-    "bloom_contains" -> arity(2, a => sketchexprs.BloomContains(
-      a(0).eval(null).asInstanceOf[Array[Byte]], a(1))),
+    "bloom_contains" -> arity(2, a => {
+      // the filter must be a plan-time BINARY constant: guard before eval so
+      // a SQL caller passing a column/non-binary gets a clean error, not a
+      // raw NPE/ClassCastException from deep inside planning
+      require(a.head.foldable,
+        "bloom_contains: first argument must be a foldable BINARY literal (the serialized filter)")
+      val v = a.head.eval(null)
+      require(v.isInstanceOf[Array[Byte]],
+        "bloom_contains: first argument must evaluate to BINARY (serialized Bloom filter)")
+      sketchexprs.BloomContains(
+        v.asInstanceOf[Array[Byte]].toIndexedSeq, a(1))
+    }),
     "vec_dot" -> arity(2, a => vecexprs.VecDot(a(0), a(1))),
     "vec_norm2" -> arity(1, a => vecexprs.VecNorm2(a(0))),
+    "vec_lsh_bucket" -> arity(2, a => vecexprs.VecLshBucket(a(0), a(1))),
     "sig_agree" -> arity(2, a => vecexprs.SigAgree(a(0), a(1))),
     "minhash" -> arity(3, a => textexprs.MinHash(a(0), a(1), a(2))),
     "lsh_bands" -> arity(2, a => textexprs.LshBands(a(0), a(1))),
@@ -146,6 +157,8 @@ object GraftFunctions {
     call_function("bloom_contains", lit(filterBytes), key)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_norm2(v: Column): Column = call_function("vec_norm2", v)
+  def vec_lsh_bucket(v: Column, nBits: Int): Column =
+    call_function("vec_lsh_bucket", v, lit(nBits))
   def sig_agree(a: Column, b: Column): Column = call_function("sig_agree", a, b)
   def minhash(text: Column, n: Int, shingleWidth: Int = 3): Column =
     call_function("minhash", text, lit(n), lit(shingleWidth))

@@ -15,13 +15,16 @@ import org.apache.spark.util.sketch.BloomFilter
 object sketchexprs {
 
   /** bloom_contains(<binary literal filter>, <long key>) -> boolean.
-    * The filter bytes are fixed at plan time (first arg must be foldable). */
-  case class BloomContains(filterBytes: Array[Byte], child: Expression)
+    * The filter bytes are fixed at plan time (first arg must be foldable).
+    * Bytes are held as a Seq so structurally-equal plans compare equal
+    * (case-class equality on Array is reference equality, which would
+    * defeat plan canonicalization/caching). */
+  case class BloomContains(filterBytes: Seq[Byte], child: Expression)
       extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes = Seq(LongType)
     override def dataType: DataType = BooleanType
     @transient private lazy val bf: BloomFilter =
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes.toArray))
     override protected def nullSafeEval(key: Any): Any =
       bf.mightContainLong(key.asInstanceOf[Long])
     override protected def withNewChildInternal(c: Expression): BloomContains =

@@ -62,10 +62,14 @@ object textexprs {
     r
   }
 
-  /** Word w-shingles of a whitespace-tokenized text. */
+  /** Word w-shingles of a whitespace-tokenized text. Zero-token (empty or
+    * whitespace-only) text yields NO shingles — a degenerate doc must not
+    * acquire a real signature, or two empty docs would be reported as
+    * near-duplicates that the shingle-based oracle never emits. */
   def shingles(text: String, w: Int): Array[String] = {
     val toks = text.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < w) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    if (toks.isEmpty) Array.empty
+    else if (toks.length < w) Array(toks.mkString(" "))
     else Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" "))
   }
 
@@ -163,26 +167,25 @@ object textexprs {
     override def prettyName: String = "hamming_dist"
   }
 
-  /** Karp-Rabin rolling-hash document fingerprint (winnowing-style minimum
-    * over character k-gram hashes). */
+  /** Document fingerprint: winnowing-style minimum over character k-gram
+    * hashes, on the PORTABLE md5-based 60-bit hash ([[portableHash60]]) so
+    * a SQL oracle recomputes it verbatim:
+    * `min(CAST('0x' || substr(md5(substr(text, i, k)), 1, 15) AS BIGINT))`
+    * over i = 1..len-k+1 (whole text when len < k). Shift-invariant: any
+    * window containing the minimizing k-gram yields the same value, which
+    * is what makes it a near-dup fingerprint for shingled text. */
   case class Fingerprint(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(text: Any, kAny: Any): Any = {
       val s = text.asInstanceOf[UTF8String].toString
       val k = kAny.asInstanceOf[Int]
-      if (s.length < k) return hashString(s, 0xf00dL)
-      val B = 1000000007L
-      var h = 0L
-      var pow = 1L
+      if (s.length < k) return portableHash60(s)
+      var minH = Long.MaxValue
       var i = 0
-      while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow *= B; i += 1 }
-      var minH = mix64(h)
-      i = k
-      while (i < s.length) {
-        h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
-        val m = mix64(h)
-        if (m < minH) minH = m
+      while (i + k <= s.length) {
+        val h = portableHash60(s.substring(i, i + k))
+        if (h < minH) minH = h
         i += 1
       }
       minH

@@ -88,6 +88,70 @@ object vecexprs {
     override def prettyName: String = "sig_agree"
   }
 
+  /** Deterministic sparse-hyperplane weight for LSH plane `p`, component
+    * `j`: splitmix64 of a (p, j) key reduced to {-1, 0, 1}. Shared by the
+    * interpreted and generated paths so they are bit-identical. */
+  @inline def lshWeight(p: Int, j: Int): Int = {
+    val z = graft.functions.textexprs.mix64(j.toLong * 131071L + p.toLong * 524287L)
+    java.lang.Long.remainderUnsigned(z, 3L).toInt - 1
+  }
+
+  /** vec_lsh_bucket(v, nBits): random-hyperplane LSH bucket id — bit p is
+    * the sign of sum_j v[j] * w(p, j) with w in {-1, 0, 1} from a seeded
+    * splitmix64 mix (no RNG state). This is the per-ROW hashing kernel of
+    * the bucketed ANN path, so like VecDot it must be a tight generated
+    * loop, not an interpreted aggregate(zip_with(...)) HOF (measured ~100x
+    * slower in round 1 — BENCH/BASELINE.md). */
+  case class VecLshBucket(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(DoubleType), IntegerType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val nBits = b.asInstanceOf[Int]
+      val n = v.numElements()
+      var bucket = 0L
+      var p = 0
+      while (p < nBits) {
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += v.getDouble(j) * lshWeight(p, j); j += 1 }
+        if (s >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val p = ctx.freshName("p")
+        val j = ctx.freshName("j")
+        val s = ctx.freshName("s")
+        val z = ctx.freshName("z")
+        val bucket = ctx.freshName("bucket")
+        // inlined splitmix64 finalizer — identical to textexprs.mix64
+        s"""
+           |final int $n = $a.numElements();
+           |long $bucket = 0L;
+           |for (int $p = 0; $p < $b; $p++) {
+           |  double $s = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    long $z = (long) $j * 131071L + (long) $p * 524287L + 0x9e3779b97f4a7c15L;
+           |    $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |    $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+           |    $z = $z ^ ($z >>> 31);
+           |    $s += $a.getDouble($j) * (double) ((int) Long.remainderUnsigned($z, 3L) - 1);
+           |  }
+           |  if ($s >= 0.0) $bucket |= (1L << $p);
+           |}
+           |${ev.value} = $bucket;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecLshBucket =
+      copy(left = l, right = r)
+    override def prettyName: String = "vec_lsh_bucket"
+  }
+
   /** squared L2 norm: dot(v, v). */
   case class VecNorm2(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.GraftFunctions.{vec_dot, vec_norm2}
+import graft.functions.GraftFunctions.{vec_dot, vec_lsh_bucket, vec_norm2}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,26 +61,19 @@ object Ann {
       .select("query_id", "vec_id", "rnk", "dist2")
   }
 
-  /** Deterministic pseudo-random hyperplane for LSH: component j of plane p
-    * derived from a seeded integer mix, in {-1, 0, 1} (sparse planes). */
-  private def planeExpr(nBits: Int): String = {
-    // sign bits: bit p = (sum_j v[j] * w(p, j)) >= 0, w in {-1,0,1} from a mix
-    val bits = (0 until nBits).map { p =>
-      s"""IF(aggregate(zip_with(v, sequence(0, size(v) - 1),
-         |  (x, j) -> x * CAST(pmod(hash(j * 131071 + $p * 524287), 3) - 1 AS DOUBLE)),
-         |  0.0D, (acc, d) -> acc + d) >= 0.0D, ${1L << p}L, 0L)""".stripMargin
-    }
-    bits.mkString(" + ")
-  }
-
   /** LSH-bucketed top-k: exact re-rank inside candidate buckets. Recall is
-    * tunable via nBits (fewer bits = bigger buckets = higher recall). */
+    * tunable via nBits (fewer bits = bigger buckets = higher recall). The
+    * per-row bucket hash is the codegen'd [[graft.functions.vecexprs.VecLshBucket]]
+    * kernel (NOT an interpreted HOF — see the round-1 postmortem in
+    * BENCH/BASELINE.md). Probabilistic recall: use [[ivfTopK]] when the
+    * answer must be exact with a bucketed plan. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
-    val c = quantize(corpus, "vec_id", "v").withColumn("bucket", expr(planeExpr(nBits)))
+    val c = quantize(corpus, "vec_id", "v")
+      .withColumn("bucket", vec_lsh_bucket(col("v"), nBits))
       .withColumn("n_v", vec_norm2(col("v")))
     // multi-probe: query probes its own bucket and all buckets at hamming 1
     val q = quantize(queries, "query_id", "v")
-      .withColumn("bucket0", expr(planeExpr(nBits)))
+      .withColumn("bucket0", vec_lsh_bucket(col("v"), nBits))
       .withColumn("n_q", vec_norm2(col("v")))
       .withColumn("probe", explode(expr(
         s"array_union(array(bucket0), transform(sequence(0, ${nBits - 1}), " +
@@ -94,6 +87,82 @@ object Ann {
       .withColumn("rnk", row_number().over(win))
       .where(col("rnk") <= k)
       .select("query_id", "vec_id", "rnk", "dist2")
+  }
+
+  /** EXACT top-k via an IVF (inverted-file) index with triangle-inequality
+    * cell pruning — the oracle-provable ANN scale path (vs [[bruteTopK]]'s
+    * O(|q| * n) crossJoin and [[lshTopK]]'s probabilistic recall).
+    *
+    * Index: every corpus vector is assigned to its nearest "centroid"
+    * (a deterministic 1-in-`centroidEvery` sample of the corpus itself);
+    * each cell records its radius r_c = max member distance to the
+    * centroid. Search:
+    *
+    *   phase 1 — each query probes its `nProbe` nearest cells and ranks the
+    *     members found there exactly; the kth-best distance d_k (an UPPER
+    *     bound on the true kth distance) comes out of the same plan;
+    *   phase 2 — a cell c can contain a true top-k member only if
+    *     dist(q, mu_c) - r_c <= true d_k <= phase-1 d_k (triangle
+    *     inequality), so the final candidate set is exactly the members of
+    *     cells passing that bound (+1e-6 slack for sqrt rounding — extra
+    *     probes only). Since assignment is a partition, each (query,
+    *     candidate) pair appears once: no dedup shuffle.
+    *
+    * Scale shape: centroids are the only broadcast (C = n/centroidEvery —
+    * keep C fixed and assign hierarchically past ~10^8 rows); assignment is
+    * one narrow O(n*C) kernel pass + one corpus shuffle; the probe join is
+    * a plain equijoin on cell id. Nothing is ever all-pairs and the corpus
+    * is never broadcast. Exactness has no data assumptions, so the DuckDB
+    * brute-force oracle must match bit-for-bit (q41). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Int = 50, nProbe: Int = 4): DataFrame = {
+    val c = quantize(corpus, "vec_id", "v").withColumn("n_v", vec_norm2(col("v")))
+    val cents = quantize(
+        corpus.where(pmod(col("vec_id"), lit(centroidEvery)) === 0), "cent_id", "cv")
+      .withColumn("n_c", vec_norm2(col("cv")))
+
+    // index build: nearest centroid per corpus vector + cell radii
+    val aWin = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("d2c", col("n_v") - lit(2.0) * vec_dot(col("v"), col("cv")) + col("n_c"))
+      .withColumn("rn", row_number().over(aWin))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n_v"),
+        col("cent_id").as("cell"), sqrt(greatest(col("d2c"), lit(0.0))).as("dc"))
+    val cells = assigned.groupBy("cell").agg(max(col("dc")).as("rc"))
+
+    // query-to-centroid distances (queries x C — query side is the small one)
+    val q = quantize(queries, "query_id", "qv").withColumn("n_q", vec_norm2(col("qv")))
+    val qc = q.crossJoin(broadcast(cents))
+      .withColumn("dqc2", col("n_q") - lit(2.0) * vec_dot(col("qv"), col("cv")) + col("n_c"))
+      .withColumn("dqc", sqrt(greatest(col("dqc2"), lit(0.0))))
+      .select("query_id", "qv", "n_q", "cent_id", "dqc")
+
+    val pWin = Window.partitionBy("query_id").orderBy(col("dqc"), col("cent_id"))
+    val rWin = Window.partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
+    def rankMembers(probes: DataFrame): DataFrame =
+      probes.join(assigned, probes("cent_id") === assigned("cell"))
+        .where(col("query_id") =!= col("vec_id"))
+        .withColumn("dist2",
+          col("n_q") - lit(2.0) * vec_dot(col("qv"), col("v")) + col("n_v"))
+        .withColumn("rnk", row_number().over(rWin))
+        .where(col("rnk") <= k)
+
+    // phase 1: nProbe nearest cells -> d_k upper bound (null if < k found,
+    // which falls back to probing every cell — still exact, never wrong)
+    val probes1 = qc.withColumn("prn", row_number().over(pWin))
+      .where(col("prn") <= nProbe).drop("prn")
+    val dk = rankMembers(probes1).groupBy("query_id")
+      .agg(count(lit(1)).as("found"), max(sqrt(col("dist2"))).as("dk0"))
+      .select(col("query_id"), when(col("found") === k, col("dk0")).as("dk"))
+
+    // phase 2: all cells whose lower bound beats d_k (includes every
+    // phase-1 cell that contributed a top-k member, by the same inequality)
+    val probes2 = qc.join(cells, qc("cent_id") === cells("cell"))
+      .join(dk, Seq("query_id"), "left")
+      .where(col("dk").isNull || (col("dqc") - col("rc") <= col("dk") + lit(1e-6)))
+      .select("query_id", "qv", "n_q", "cent_id")
+    rankMembers(probes2).select("query_id", "vec_id", "rnk", "dist2")
   }
 
   /** Embedding-cosine near-duplicate pairs (quantized, exact arithmetic):
@@ -111,14 +180,17 @@ object Ann {
     *      each pair exactly. Each unordered pair of rows meets EXACTLY once
     *      (off-diagonal keys see it once by construction; the diagonal
     *      filters id_l < id_r), so no dedup shuffle is needed.
-    * B is chosen ~ sqrt(parallelism): work per reducer is (n/B)^2 dots. */
-  def cosineDupPairs(corpus: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    * B defaults to ~sqrt(4 * parallelism) so the B(B+1)/2 reducers track
+    * cluster size without caller tuning (work per reducer is (n/B)^2 dots);
+    * the output row SET is identical at every B. */
+  def cosineDupPairs(corpus: DataFrame, threshold: Double, blocks: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val b = Dedup.ThetaBlocks.resolve(spark, blocks)
     val c = quantize(corpus, "vec_id", "v")
       .withColumn("n2", vec_norm2(col("v")))
-      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
-    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(b)))
+    val blockPairs = (for { i <- 0 until b; j <- i until b } yield (i, j))
       .toDF("ba", "bb")
     val lhs = c.join(broadcast(blockPairs), col("blk") === col("ba"))
       .select(col("ba"), col("bb"), col("vec_id").as("id_l"), col("v").as("vl"), col("n2").as("nl"))

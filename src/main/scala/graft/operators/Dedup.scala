@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shared block-count policy for the 1-Bucket-Theta self-joins
+    * ([[jaccardPairsDict]], [[graft.operators.Ann.cosineDupPairs]]):
+    * B = ceil(sqrt(4 * defaultParallelism)), so the B(B+1)/2 uniform
+    * reducers number ~2x the available slots at ANY cluster size without
+    * caller tuning. Replication per input row is B+1; the output row set is
+    * invariant in B (each unordered pair still meets exactly once). */
+  object ThetaBlocks {
+    def resolve(spark: org.apache.spark.sql.SparkSession, requested: Int): Int =
+      if (requested > 0) requested
+      else math.max(4,
+        math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
+  }
+
   /** Exact dedup on a key column: keeps the smallest id per key.
     * One shuffle (partial-agg map side combine applies). */
   def exactKeep(df: DataFrame, idCol: String, keyCol: String): DataFrame =
@@ -45,7 +58,9 @@ object Dedup {
     val probeBands =
       if (bands >= numHashes) bands - math.ceil(threshold * numHashes).toInt + 1
       else bands
-    val withBands = df.select(col(idCol).as("id"),
+    // zero-token docs have no shingles and therefore no signature — exclude
+    // them up front so engine and oracle agree on degenerate inputs
+    val withBands = df.where(trim(col(textCol)) =!= "").select(col(idCol).as("id"),
         minhash(col(textCol), numHashes, shingleW).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(expr(s"slice(lsh_bands(sig, $bands), 1, $probeBands)"))
@@ -70,7 +85,9 @@ object Dedup {
     * sub-band — pigeonhole, so recall is PROVABLY 1.0 at maxHamming <= 3),
     * verify by full hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // exclude zero-token docs (no tokens -> no signature), same as minhash
+    val sigs = df.where(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("bucket", expr("(sig >> (band_idx * 15)) & 32767"))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band_idx"), col("bucket"))
@@ -122,9 +139,10 @@ object Dedup {
     * |intersect|/|union| on the raw sets, so the threshold decision is
     * bit-identical to the naive plan. */
   def jaccardPairsDict(toks: DataFrame, vocab: Array[String],
-                       threshold: Double, blocks: Int = 16): DataFrame = {
+                       threshold: Double, blocks: Int = 0): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
+    val nBlocks = ThetaBlocks.resolve(spark, blocks)
     val vmap = typedLit(vocab.sorted.zipWithIndex.toMap)
     val withMask = toks
       .withColumn("mask", aggregate(col("toks"), lit(0L),
@@ -141,8 +159,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
 
     // distinct-mask pairs: blocked self-join, one popcount per pair
-    val withBlk = masks.withColumn("blk", pmod(hash(col("mask")), lit(blocks)))
-    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+    val withBlk = masks.withColumn("blk", pmod(hash(col("mask")), lit(nBlocks)))
+    val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
       .toDF("ba", "bb")
     val lhs = withBlk.join(broadcast(blockPairs), col("blk") === col("ba"))
       .select(col("ba"), col("bb"), col("mask").as("m_l"))
@@ -197,7 +215,11 @@ object Dedup {
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("sorted"))
       .withColumn("sz", size(col("sorted")))
-      .withColumn("plen", (col("sz") - ceil(lit(c) * col("sz")) + 1).cast("int"))
+      // FP-safe overlap bound: subtract an epsilon before ceil so a
+      // rounding artifact that lands c*sz infinitesimally ABOVE an exact
+      // integer cannot shorten the prefix by one (longer prefix = extra
+      // candidates only; the exact verify removes them)
+      .withColumn("plen", (col("sz") - ceil(lit(c) * col("sz") - lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("sz"),
         explode(expr("transform(slice(sorted, 1, plen), s -> s.tok)")).as("tok"))
     val cand = prefix.as("a").join(prefix.as("b"),

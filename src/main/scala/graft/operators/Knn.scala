@@ -29,6 +29,15 @@ import org.apache.spark.storage.StorageLevel
   * (tracked by one count per round on the new pending set — the same
   * action that materializes it). Per-round caches are unpersisted as soon
   * as their successor is materialized, so storage stays O(one round).
+  *
+  * Fault tolerance: the per-round pending set is truncated with
+  * `localCheckpoint(eager = true)`, which stores blocks on executors
+  * WITHOUT lineage — correct and fast in local mode (this harness), but on
+  * a real cluster an executor loss makes the truncated lineage
+  * unrecoverable and fails the job. At cluster scale swap in reliable
+  * `checkpoint()` to a durable checkpoint dir (or persist the pending set
+  * with replication 2): the pending set is queries-sized, i.e. tiny
+  * relative to the corpus, so the durable write is cheap per round.
   */
 object Knn {
 

@@ -54,25 +54,41 @@ object Snapshots {
     * lineage rows; skips partitions already committed for this snapshot id
     * (idempotent resume). Returns per-partition metadata for the WHOLE
     * snapshot — previously committed partitions included — so every resume
-    * path (fresh, partial, no-op) reports the same total row count. */
+    * path (fresh, partial, no-op) reports the same total row count.
+    *
+    * `portableParts`: partition by `keyCol % nParts` on the (numeric) key
+    * instead of Spark's murmur hash — lets an external SQL oracle recompute
+    * the partition assignment verbatim (q42 evidence path).
+    * `maxPartsPerRun`: commit at most this many still-pending partitions,
+    * then stop WITHOUT flipping the CURRENT pointer or writing the
+    * manifest row — a micro-batch commit that doubles as a deterministic
+    * mid-snapshot-crash simulation (the snapshot only becomes current once
+    * every partition's lineage row exists). */
   def writeSnapshot(
       spark: SparkSession, df: DataFrame, table: String,
       snapshotId: Long, nParts: Int, keyCol: String,
-      operation: String = "append"): Seq[PartitionMeta] = {
+      operation: String = "append",
+      portableParts: Boolean = false,
+      maxPartsPerRun: Int = Int.MaxValue): Seq[PartitionMeta] = {
     import spark.implicits._
     val committed = committedMetas(spark, table, snapshotId)
     val done = committed.map(_.partId).toSet
-    val pending = (0 until nParts).filterNot(done.contains)
-    if (pending.isEmpty) { ensureCurrent(table, snapshotId); return committed }
+    val pendingAll = (0 until nParts).filterNot(done.contains)
+    if (pendingAll.isEmpty) { ensureCurrent(table, snapshotId); return committed }
+    val pending = pendingAll.take(maxPartsPerRun)
+    val partialRun = pending.length < pendingAll.length
 
     // one data job + one stats job, NOT a job per partition: the driver-side
     // loop would serialize nParts small jobs and wreck N->4N scaling
     // efficiency (Amdahl). Dynamic partition overwrite keeps resume safe: a
     // crashed run's partially-written partitions are simply rewritten, and
     // already-committed partitions are filtered out up front.
-    val withPart = df.withColumn("part_id", pmod(hash(col(keyCol)), lit(nParts)).cast("int"))
-    val filtered = (if (done.isEmpty) withPart
-                    else withPart.where(!col("part_id").isin(done.toSeq: _*))).persist()
+    val partExpr =
+      if (portableParts) pmod(col(keyCol).cast("long"), lit(nParts.toLong)).cast("int")
+      else pmod(hash(col(keyCol)), lit(nParts)).cast("int")
+    val withPart = df.withColumn("part_id", partExpr)
+    val filtered = (if (pending.length == nParts) withPart
+                    else withPart.where(col("part_id").isin(pending: _*))).persist()
 
     val dataCols = df.columns
     filtered.write.mode(SaveMode.Overwrite)
@@ -96,6 +112,10 @@ object Snapshots {
     metas.map(m => (m.snapshotId, m.partId, m.rowCount, m.lineageHash))
       .toDF("snapshot_id", "part_id", "row_count", "lineage_hash")
       .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/partitions")
+    // a partial (micro-batch / crash-simulation) run stops here: no
+    // manifest row, no CURRENT flip — the snapshot is not yet complete
+    if (partialRun) return committed ++ metas
+
     // snapshot manifest (skipped when a crashed-then-resumed run already
     // appended this snapshot's row — manifest stays one row per snapshot)
     val manifestExists = Files.exists(Paths.get(s"${metaDir(table)}/snapshots")) &&

@@ -34,8 +34,12 @@ class FunctionsSpec extends SparkTestBase {
       "SELECT st_isempty(st_geomfromtext('POINT EMPTY')) AS a, " +
         "st_isempty(st_geomfromtext('multipolygon empty')) AS b, " +
         "st_isempty(st_geomfromtext('POINT (1 2)')) AS c, " +
-        "st_astext_compact(st_geomfromtext('POINT EMPTY')) AS d").collect()(0)
+        "st_astext_compact(st_geomfromtext('POINT EMPTY')) AS d, " +
+        "st_isempty(st_geomfromtext('GEOMETRYCOLLECTION EMPTY')) AS e, " +
+        "st_isempty(st_geomfromtext('GEOMETRYCOLLECTION (POINT (1 2))')) AS f").collect()(0)
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+    // a no-parts collection IS empty; one with members is not
+    assert(r.getBoolean(4) && !r.getBoolean(5))
     // writer->parser round trip closes: compact writer emits 'POINT EMPTY'
     assert(r.getString(3) == "POINT EMPTY")
   }
@@ -102,5 +106,35 @@ class FunctionsSpec extends SparkTestBase {
     assert(h12 < h13, "simhash distance should order near-dup < unrelated")
     assert(rows(0).getString(3) == "en" && rows(2).getString(3) == "de")
     assert(rows(0).getLong(4) != rows(2).getLong(4))
+  }
+
+  test("doc_fingerprint is the portable md5-min over k-char windows") {
+    import graft.functions.textexprs.portableHash60
+    val fp = Seq((1L, "abc"), (2L, "abcdefghijklmnopqr"))
+      .toDF("id", "text")
+      .select(doc_fingerprint($"text", 16)).collect().map(_.getLong(0))
+    assert(fp(0) == portableHash60("abc")) // shorter than k -> whole text
+    val windows = (0 to 2).map(i => portableHash60("abcdefghijklmnopqr".substring(i, i + 16)))
+    assert(fp(1) == windows.min)
+    // shift invariance: any text containing the minimizing window agrees
+    assert(fp(1) >= 0, "portable hash is 60-bit, always non-negative")
+  }
+
+  test("vec_lsh_bucket: deterministic, bit-bounded, near-dup stable") {
+    val df = Seq(
+      (1L, Seq.fill(16)(0.5f)),
+      (2L, Seq.fill(16)(0.5005f)), // tiny perturbation -> same signs
+      (3L, (0 until 16).map(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val b = df.select(vec_lsh_bucket(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"), 8))
+      .collect().map(_.getLong(0))
+    assert(b.forall(v => v >= 0 && v < 256), "8-bit bucket range")
+    assert(b(0) == b(1), "scaled near-identical vectors share a bucket")
+    assert(b(0) != b(2), "sign-flipped vector lands elsewhere")
+    // same input -> same bucket on re-evaluation (pure, seeded)
+    val again = df.where($"vec_id" === 1).select(vec_lsh_bucket(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))"), 8)).collect()(0).getLong(0)
+    assert(again == b(0))
   }
 }

@@ -122,4 +122,28 @@ class ImagesSpec extends SparkTestBase {
       .orderBy("part_id").collect().map(_.getLong(3))
     assert(m4meta.length == 4 && m4meta.toSet.size >= 3)
   }
+
+  test("micro-batch commit: partial run leaves CURRENT unmoved, resume completes") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-partial").toString
+    val df = (1 to 900).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    // run 1 "crashes" after 2 of 6 partitions: lineage rows exist for those
+    // two, but the snapshot is not current and no manifest row was written
+    val m1 = Snapshots.writeSnapshot(spark, df, s"$dir/t", snapshotId = 1L,
+      nParts = 6, keyCol = "k", portableParts = true, maxPartsPerRun = 2)
+    assert(m1.map(_.partId).toSet == Set(0, 1))
+    assert(Snapshots.currentSnapshot(s"$dir/t").isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t/_meta/snapshots")))
+    // resume: completes the remaining 4, flips CURRENT, reports all 6
+    val m2 = Snapshots.writeSnapshot(spark, df, s"$dir/t", snapshotId = 1L,
+      nParts = 6, keyCol = "k", portableParts = true)
+    assert(m2.map(_.partId).toSet == (0 to 5).toSet)
+    assert(m2.map(_.rowCount).sum == 900)
+    assert(Snapshots.currentSnapshot(s"$dir/t").contains(1L))
+    // portable partitioning: per-part counts recomputable as k % 6
+    val want = (1 to 900).groupBy(_ % 6).view.mapValues(_.size.toLong).toMap
+    m2.foreach(m => assert(m.rowCount == want(m.partId)))
+    assert(Snapshots.readData(spark, s"$dir/t").count() == 900)
+    assert(Snapshots.readSnapshots(spark, s"$dir/t")
+      .where(col("snapshot_id") === 1).count() == 1)
+  }
 }

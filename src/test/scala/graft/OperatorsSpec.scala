@@ -146,4 +146,56 @@ class OperatorsSpec extends SparkTestBase {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
+
+  test("IVF top-k is EXACT (== brute force), including the <k fallback") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.3f - 0.15f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" % 30 === 0)
+    val brute = Ann.bruteTopK(vecs, queries, k = 7)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val ivf = Ann.ivfTopK(vecs, queries, k = 7, centroidEvery = 25, nProbe = 2)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute, "triangle-inequality pruning must not lose a true neighbor")
+    // degenerate regime: k near corpus size forces the d_k-null fallback
+    val tiny = vecs.where($"vec_id" < 6)
+    val b2 = Ann.bruteTopK(tiny, tiny, k = 5)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val i2 = Ann.ivfTopK(tiny, tiny, k = 5, centroidEvery = 3, nProbe = 1)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(i2 == b2)
+  }
+
+  test("blocked theta-joins: output invariant across block counts (incl. auto)") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(40)(Array.fill(16)(rnd.nextFloat() + 0.1f))
+    val vecs = (0 until 80).map { i =>
+      val v = if (i < 40) base(i) else base(i - 40).map(x => x * 1.001f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    def run(blocks: Int) = Ann.cosineDupPairs(vecs, 0.95, blocks)
+      .as[(Long, Long)].collect().toSet
+    val auto = run(0)
+    assert(auto == run(3) && auto == run(16) && auto.nonEmpty,
+      "pair set must not depend on the block count")
+    // auto policy tracks parallelism: ~2x slots worth of uniform reducers
+    val b = Dedup.ThetaBlocks.resolve(spark, 0)
+    assert(b >= 4 &&
+      b == math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
+  }
+
+  test("zero-token docs never acquire signatures (minhash + simhash)") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real text here with words"),
+      (4L, "real text here with words")).toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((3L, 4L)), s"empty docs must not pair up, got $mh")
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh == Set((3L, 4L)))
+    assert(graft.functions.textexprs.shingles("   ", 3).isEmpty)
+  }
 }
