@@ -40,16 +40,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
-    // flagship pipeline: prepare once (unmeasured), run measured
+    // flagship pipeline: prepare once + ONE unmeasured warmup run, then the
+    // measured run. The warmup makes the protocol deterministic: without it
+    // the reported number depends on whether the prepared input survived in
+    // /tmp (prepare itself JIT/codegen-warms the whole stack), which is why
+    // earlier rounds measured anywhere between 9 and 19 s for the identical
+    // job. What's reported is the steady-state cost a long-lived cluster
+    // job actually pays per run — same warm protocol as ScaleBench.
     val work = s"/tmp/graft-bench-${sfDir.replaceAll("[^0-9.a-z]", "")}"
     var pipelineRps = 0.0
     if (wanted("pipeline")) try {
       if (!new java.io.File(s"$work/images").exists())
         Pipeline.prepare(spark, sfDir, work)
-      // clean output table so the run does full work
+      // clean output table so each run does full work
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
       }
+      rm(new java.io.File(s"$work/tile_stats"))
+      Pipeline.run(spark, work) // warmup, unrecorded
       rm(new java.io.File(s"$work/tile_stats"))
       val t0 = System.nanoTime()
       val (_, n) = Pipeline.run(spark, work)

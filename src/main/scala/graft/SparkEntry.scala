@@ -446,14 +446,15 @@ object SparkEntry {
       // block-mean phash agrees exactly across the lossless codecs (png ==
       // bmp: identical pixels), stays within a small hamming distance of
       // the jpeg encode (PSNR >= 40 dB content), and the raster tile-block
-      // decomposition conserves pixels (sum(px_count) == w*h, with decoded
-      // dims feeding the block geometry like the flagship pipeline)
+      // decomposition conserves pixels (sum(px_count) == w*h). Block
+      // geometry uses the TABLE dims — decoded-dims == table-dims is
+      // already q38's dims_ok invariant; re-decoding here would only repeat
+      // that check at the cost of a fourth codec pass per row.
       reg(s)
       val mk = (f: String) => image_synth(struct(col("image_id"), col("w"), col("h"), lit(f)))
       SynthData.images(s, dir).where(col("point_id") % 20 === 1)
         .withColumn("png", mk("png")).withColumn("bmp", mk("bmp")).withColumn("jpg", mk("jpg"))
         .withColumn("ph_png", image_phash(col("png")))
-        .withColumn("px", image_decode_dims(col("png")))
         .withColumn("half_w", col("w").cast("double") / 2000.0)
         .withColumn("half_h", col("h").cast("double") / 2000.0)
         .withColumn("tb", image_tile_blocks(struct(
@@ -461,7 +462,7 @@ object SparkEntry {
           (col("lat") - col("half_h")).as("lat_min"),
           (col("lon") + col("half_w")).as("lon_max"),
           (col("lat") + col("half_h")).as("lat_max"),
-          col("px.w"), col("px.h"), lit(8).as("z"), lit(8).as("block"))))
+          col("w"), col("h"), lit(8).as("z"), lit(8).as("block"))))
         .select(col("image_id"),
           (col("ph_png") === image_phash(col("bmp"))).as("phash_lossless_eq"),
           (hamming_dist(col("ph_png"), image_phash(col("jpg"))) <= 10).as("phash_jpg_ok"),
@@ -477,6 +478,16 @@ object SparkEntry {
         .withColumn("g", st_geomfromtext(st_point_wkt(col("x0"), col("y0"), 0)))
         .select(col("poly_id"),
           st_asgeojson(col("g"), feature = false, numeric = false, fmt = 3).as("gj_str"))
+        .orderBy("poly_id")
+    }),
+    "q45_wktview" -> ((s, dir) => {
+      // wktview analog (reference R/wktview.R): WKT -> centroid-centered
+      // leaflet HTML document; the oracle reassembles the byte-identical
+      // document from the same template constants
+      reg(s)
+      polys(s, dir)
+        .select(col("poly_id"),
+          st_wktview(st_point_wkt(col("x0"), col("y0"), 0), 5).as("html"))
         .orderBy("poly_id")
     })
   )
@@ -706,7 +717,18 @@ object SparkEntry {
           "FROM pts WHERE point_id % 20 = 1 ORDER BY image_id"),
       "q44_format_num" ->
         (P + "SELECT poly_id, '{\"type\":\"Point\",\"coordinates\":[\"' || printf('%.3f', x0) || " +
-          "'\",\"' || printf('%.3f', y0) || '\"]}' AS gj_str FROM polys ORDER BY poly_id")
+          "'\",\"' || printf('%.3f', y0) || '\"]}' AS gj_str FROM polys ORDER BY poly_id"),
+      "q45_wktview" -> {
+        // the HTML document is reassembled from the SAME template constants
+        // the engine uses (graft.core.WktView) — byte-identical or the hash
+        // compare fails. setView order is [lat, lon].
+        val latE = "printf('%d', CAST(y0 AS BIGINT)) || '.0'"
+        val lonE = "printf('%d', CAST(x0 AS BIGINT)) || '.0'"
+        P + s"SELECT poly_id, '${graft.core.WktView.head}' || $latE || ',' || $lonE || " +
+          s"'${graft.core.WktView.midZoom}5${graft.core.WktView.midGeo}' || " +
+          featJson + " || ',\"properties\":{\"style\":{}}}' || " +
+          s"'${graft.core.WktView.tail}' AS html FROM polys ORDER BY poly_id"
+      }
     )
   }
 }

@@ -252,6 +252,21 @@ object exprs {
     override def prettyName: String = "st_as_featurecollection"
   }
 
+  /** `wktview` analog (reference R/wktview.R:31-57): WKT -> self-contained
+    * leaflet HTML document string (see [[graft.core.WktView]]). */
+  case class StWktView(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType, IntegerType)
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(wkt: Any, zoom: Any): Any =
+      UTF8String.fromString(WktView.html(
+        WktParser.parse(wkt.asInstanceOf[UTF8String].toString), zoom.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StWktView =
+      copy(left = l, right = r)
+    override def prettyName: String = "st_wktview"
+  }
+
   // ---------- constructor family (reference R/point.R etc.) ----------
 
   /** Direct struct Point from lon/lat columns (engine building block). */

@@ -36,6 +36,7 @@ object GraftFunctions {
     "st_geomfromgeojson" -> arity(1, a => E.StGeomFromGeoJson(a(0))),
     "st_properties" -> arity(3, a => E.StProperties(a(0), a(1), a(2))),
     "st_as_featurecollection" -> arity(1, a => E.StAsFeatureCollection(a(0))),
+    "st_wktview" -> arity(2, a => E.StWktView(a(0), a(1))),
     "st_point" -> arity(2, a => E.StPoint(a(0), a(1))),
     "st_point_wkt" -> arity(3, a => E.StPointWkt(a(0), a(1), a(2))),
     "st_multipoint_wkt" -> arity(2, a => E.StConstructWkt(a(0), a(1), 1)),
@@ -122,6 +123,8 @@ object GraftFunctions {
     call_function("st_properties", feature, style, popup)
   def st_as_featurecollection(feature: Column): Column =
     call_function("st_as_featurecollection", feature)
+  def st_wktview(wkt: Column, zoom: Int = 5): Column =
+    call_function("st_wktview", wkt, lit(zoom))
   def st_point(lon: Column, lat: Column): Column = call_function("st_point", lon, lat)
   def st_point_wkt(lon: Column, lat: Column, fmt: Int = 16): Column =
     call_function("st_point_wkt", lon, lat, lit(fmt))

@@ -108,6 +108,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows(0).getLong(4) != rows(2).getLong(4))
   }
 
+  test("wktview analog emits a centroid-centered leaflet document") {
+    val html = Seq("POINT (-116.4000000000000057 45.2000000000000028)",
+        "POLYGON ((100 0, 101 0, 101 1, 100 1, 100 0))")
+      .toDF("wkt").select(st_wktview($"wkt", 9)).collect().map(_.getString(0))
+    // point: view centered on the point itself, [lat, lon] order
+    // (doubles render shortest-form, like the JSON coordinates)
+    assert(html(0).contains("setView([45.2,-116.4],9"))
+    assert(html(0).contains("\"type\":\"Feature\""))
+    assert(html(0).contains("\"properties\":{\"style\":{}}"), "properties(style=list(NULL)) analog")
+    // polygon: mean-of-vertices centroid (5 ring points, closing repeated:
+    // lon (100+101+101+100+100)/5, lat (0+0+1+1+0)/5)
+    assert(html(1).contains("setView([0.4,100.4],9"))
+    assert(html(1).contains("\"type\":\"Polygon\""))
+    assert(html(1).startsWith("<!DOCTYPE html>") && html(1).endsWith("</body></html>"))
+    // reference not_some contract: junk input is an error, not a silent map
+    intercept[Exception] {
+      Seq("SQUARE (1 2)").toDF("wkt").select(st_wktview($"wkt", 5)).collect()
+    }
+  }
+
   test("doc_fingerprint is the portable md5-min over k-char windows") {
     import graft.functions.textexprs.portableHash60
     val fp = Seq((1L, "abc"), (2L, "abcdefghijklmnopqr"))

@@ -64,6 +64,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "no nested-loop broadcast join")
   }
 
+  test("IVF ANN: centroids broadcast, corpus never broadcast whole, hash-join probes") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10,
+      centroidEvery = 50, nProbe = 3))
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    // the ONLY nested-loop joins are the corpus/query x broadcast(centroids)
+    // assignment passes (the d_k subtree recomputes the lazy assignment, so
+    // they appear up to 5 times in one plan; at scale the index would be a
+    // persisted table and appear once)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl >= 1 && bnl <= 6, s"only the centroid-assignment crossJoins, got $bnl")
+    assert(p.contains("vec_dot"), "codegen'd dot kernel for the exact re-rank")
+  }
+
   test("tile counts: single shuffle with partial aggregation") {
     val p = plan(SpatialJoin.tileCounts(SynthData.points(spark, dir), 6))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, "exactly one shuffle")
