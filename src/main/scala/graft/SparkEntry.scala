@@ -480,6 +480,32 @@ object SparkEntry {
           st_asgeojson(col("g"), feature = false, numeric = false, fmt = 3).as("gj_str"))
         .orderBy("poly_id")
     }),
+    "q46_doc_quality" -> ((s, dir) => {
+      // LLM-curation quality scoring: length / punctuation / stopword
+      // ratios as exact-integer milli rates. Punctuation is synthesized
+      // portably (both engines apply the identical replace) because the
+      // corpus is punctuation-free word soup.
+      reg(s)
+      t(s, dir, "documents")
+        .withColumn("t2", expr("replace(replace(text, 'fast', 'fast,'), 'value', 'value.')"))
+        .withColumn("n_chars", length(col("t2")).cast("long"))
+        .withColumn("n_tokens",
+          (length(col("t2")) - length(expr("replace(t2, ' ', '')")) + 1).cast("long"))
+        .withColumn("n_punct",
+          (length(col("t2")) - length(translate(col("t2"), ".,!?;:", ""))).cast("long"))
+        .withColumn("n_stop", expr(
+          "size(filter(split(t2, ' '), x -> x IN ('the','a','of','and','to','is','in')))")
+          .cast("long"))
+        // BPE-ish subtoken count: letter runs / digit runs / single symbols
+        // (disjoint character classes, so Java and RE2 match identically)
+        .withColumn("n_subtokens", expr(
+          "size(regexp_extract_all(t2, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"), col("n_stop"),
+          col("n_subtokens"),
+          floor(col("n_punct") * lit(1000.0) / col("n_chars")).cast("long").as("punct_milli"),
+          floor(col("n_stop") * lit(1000.0) / col("n_tokens")).cast("long").as("stop_milli"))
+        .orderBy("doc_id")
+    }),
     "q45_wktview" -> ((s, dir) => {
       // wktview analog (reference R/wktview.R): WKT -> centroid-centered
       // leaflet HTML document; the oracle reassembles the byte-identical
@@ -718,6 +744,19 @@ object SparkEntry {
       "q44_format_num" ->
         (P + "SELECT poly_id, '{\"type\":\"Point\",\"coordinates\":[\"' || printf('%.3f', x0) || " +
           "'\",\"' || printf('%.3f', y0) || '\"]}' AS gj_str FROM polys ORDER BY poly_id"),
+      "q46_doc_quality" ->
+        ("WITH d AS (SELECT doc_id, replace(replace(text, 'fast', 'fast,'), 'value', 'value.') AS t2 FROM documents), " +
+          "c AS (SELECT doc_id, length(t2) AS n_chars, " +
+          "length(t2) - length(replace(t2, ' ', '')) + 1 AS n_tokens, " +
+          "length(t2) - length(translate(t2, '.,!?;:', '')) AS n_punct, " +
+          "len(regexp_extract_all(t2, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens FROM d), " +
+          "st AS (SELECT doc_id, count(*) AS n_stop FROM " +
+          "(SELECT doc_id, unnest(string_split(t2, ' ')) AS tok FROM d) " +
+          "WHERE tok IN ('the','a','of','and','to','is','in') GROUP BY 1) " +
+          "SELECT c.doc_id, n_chars, n_tokens, n_punct, COALESCE(n_stop, 0) AS n_stop, n_subtokens, " +
+          "CAST(floor(n_punct * 1000.0 / n_chars) AS BIGINT) AS punct_milli, " +
+          "CAST(floor(COALESCE(n_stop, 0) * 1000.0 / n_tokens) AS BIGINT) AS stop_milli " +
+          "FROM c LEFT JOIN st USING (doc_id) ORDER BY c.doc_id"),
       "q45_wktview" -> {
         // the HTML document is reassembled from the SAME template constants
         // the engine uses (graft.core.WktView) — byte-identical or the hash
