@@ -506,6 +506,62 @@ object SparkEntry {
           floor(col("n_stop") * lit(1000.0) / col("n_tokens")).cast("long").as("stop_milli"))
         .orderBy("doc_id")
     }),
+    "q47_image_resize" -> ((s, dir) => {
+      // multimodal resize: NN-resample over REAL decoded pixels, re-encoded
+      // PNG; invariants = decoded resized dims + phash stability (the 8x8
+      // block-mean hash is scale-invariant by construction, so a half-size
+      // resample stays within a small hamming distance)
+      reg(s)
+      SynthData.images(s, dir).where(col("point_id") % 20 === 2)
+        .withColumn("png", image_synth(struct(col("image_id"), col("w"), col("h"), lit("png"))))
+        .withColumn("small", image_resize(col("png"),
+          (col("w") / 2).cast("int"), (col("h") / 2).cast("int")))
+        .withColumn("spx", image_decode_dims(col("small")))
+        .select(col("image_id"),
+          col("spx.w").cast("long").as("rw"), col("spx.h").cast("long").as("rh"),
+          (hamming_dist(image_phash(col("png")), image_phash(col("small"))) <= lit(12))
+            .as("phash_stable"))
+        .orderBy("image_id")
+    }),
+    "q48_video_frames" -> ((s, dir) => {
+      // multimodal frame-sampling: deterministic video container of REAL
+      // encoded frames; sample every 2nd frame, prove each decodes at the
+      // table dims AND that the sampler extracted exactly frames 0/2/4 —
+      // each sampled frame must byte-equal its re-synthesized original
+      // (exact by construction; a phash-distinctness check would be
+      // probabilistic on small smooth-gradient frames)
+      // frames are fixed 16x16 (dims diversity is q38/q43/q47's job): the
+      // invariants here are about the CONTAINER — count, sampling stride,
+      // byte-exact extraction — and 16x16 keeps the 9-encodes-per-row cost
+      // proportionate
+      reg(s)
+      SynthData.images(s, dir).where(col("point_id") % 40 === 3)
+        .withColumn("vid", video_synth(struct(col("image_id"), lit(16), lit(16), lit(6))))
+        .withColumn("frames", video_frame_sample(col("vid"), 2))
+        .select(col("image_id"),
+          video_n_frames(col("vid")).cast("long").as("n_frames"),
+          size(col("frames")).cast("long").as("n_sampled"),
+          expr("forall(transform(frames, f -> image_decode_dims(f)), " +
+            "d -> d.w = 16 AND d.h = 16)").as("frames_ok"),
+          expr("forall(transform(frames, (f, j) -> f = image_synth(struct(" +
+            "concat(image_id, '#f', CAST(j * 2 AS STRING)), 16, 16, 'png'))), x -> x)")
+            .as("frames_exact"))
+        .orderBy("image_id")
+    }),
+    "q49_audio_stats" -> ((s, dir) => {
+      // multimodal audio: PCM16 container (seeded sine, 100 samples/period);
+      // exact integer stats — sample count, peak in [cos(pi/100)*A, A],
+      // 2 zero crossings per period
+      reg(s)
+      SynthData.images(s, dir).where(col("point_id") % 40 === 4)
+        .withColumn("aud", audio_synth(struct(col("image_id"), lit(1000))))
+        .withColumn("st", audio_stats(col("aud")))
+        .select(col("image_id"),
+          col("st.n_samples").cast("long").as("n_samples"),
+          (col("st.peak") >= 26000 && col("st.peak") <= 26214).as("peak_ok"),
+          (col("st.zero_cross") >= 19 && col("st.zero_cross") <= 21).as("zc_ok"))
+        .orderBy("image_id")
+    }),
     "q45_wktview" -> ((s, dir) => {
       // wktview analog (reference R/wktview.R): WKT -> centroid-centered
       // leaflet HTML document; the oracle reassembles the byte-identical
@@ -757,6 +813,20 @@ object SparkEntry {
           "CAST(floor(n_punct * 1000.0 / n_chars) AS BIGINT) AS punct_milli, " +
           "CAST(floor(COALESCE(n_stop, 0) * 1000.0 / n_tokens) AS BIGINT) AS stop_milli " +
           "FROM c LEFT JOIN st USING (doc_id) ORDER BY c.doc_id"),
+      "q47_image_resize" ->
+        (P + "SELECT printf('img-%09d', point_id) AS image_id, " +
+          "CAST((point_id % 5 * 16 + 16) / 2 AS BIGINT) AS rw, " +
+          "CAST((point_id % 3 * 16 + 16) / 2 AS BIGINT) AS rh, " +
+          "true AS phash_stable FROM pts WHERE point_id % 20 = 2 ORDER BY image_id"),
+      "q48_video_frames" ->
+        (P + "SELECT printf('img-%09d', point_id) AS image_id, " +
+          "CAST(6 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_sampled, " +
+          "true AS frames_ok, true AS frames_exact " +
+          "FROM pts WHERE point_id % 40 = 3 ORDER BY image_id"),
+      "q49_audio_stats" ->
+        (P + "SELECT printf('img-%09d', point_id) AS image_id, " +
+          "CAST(1000 AS BIGINT) AS n_samples, true AS peak_ok, true AS zc_ok " +
+          "FROM pts WHERE point_id % 40 = 4 ORDER BY image_id"),
       "q45_wktview" -> {
         // the HTML document is reassembled from the SAME template constants
         // the engine uses (graft.core.WktView) — byte-identical or the hash

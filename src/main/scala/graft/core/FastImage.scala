@@ -38,6 +38,47 @@ object FastImage {
     else null
   }
 
+  /** HEADER-ONLY dimensions — PNG IHDR, BMP info header, or JPEG SOF marker
+    * scan; null when the container is unrecognized. Decoding a codec stream
+    * starts with exactly these fields, and tile/block geometry needs
+    * nothing further: profiling the 6M-image flagship showed the tile stage
+    * spending ~45% of its CPU inflating pixel arrays that were immediately
+    * discarded (the pixel-level decode invariants live in q38/q43, which DO
+    * run the full decoders). */
+  def dims(bytes: Array[Byte]): Array[Int] = {
+    if (bytes.length > 24 && u8(bytes, 0) == 0x89 && bytes(1) == 'P') {
+      val w = i32be(bytes, 16); val h = i32be(bytes, 20)
+      if (w > 0 && h > 0) Array(w, h) else null
+    } else if (bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val w = i32le(bytes, 18); val h = math.abs(i32le(bytes, 22))
+      if (w > 0 && h > 0) Array(w, h) else null
+    } else dimsJpeg(bytes)
+  }
+
+  /** JPEG: walk the marker chain to the first frame header (SOF0/1/2/...,
+    * excluding DHT/JPG/DAC), whose payload is [precision, h:16, w:16]. */
+  private def dimsJpeg(b: Array[Byte]): Array[Int] = {
+    if (b.length < 10 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return null
+    var pos = 2
+    while (pos + 9 < b.length) {
+      if (u8(b, pos) != 0xff) return null
+      val marker = u8(b, pos + 1)
+      if (marker == 0xff) { pos += 1 } // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) { pos += 2 } // standalone
+      else {
+        val len = (u8(b, pos + 2) << 8) | u8(b, pos + 3)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val h = (u8(b, pos + 5) << 8) | u8(b, pos + 6)
+          val w = (u8(b, pos + 7) << 8) | u8(b, pos + 8)
+          return if (w > 0 && h > 0) Array(w, h) else null
+        }
+        pos += 2 + len
+      }
+    }
+    null
+  }
+
   /** PNG: color type 2 (truecolor), bit depth 8, no interlace. */
   def decodePng(bytes: Array[Byte]): Decoded = {
     var pos = 8

@@ -132,18 +132,55 @@ object exprs {
   }
 
   /** `get_centroid` (reference R/get_centroid.R:24-36, R/zzz.R:42-66):
-    * mean-of-vertices, lon first; null for GeometryCollection/empty. */
+    * mean-of-vertices, lon first; null for GeometryCollection/empty.
+    *
+    * Walks the geometry struct DIRECTLY (no Geom materialization): this
+    * expression runs once per row in both flagship subtrees, and the
+    * nested-Vector round trip of GeomData.fromRow was its dominant
+    * allocation cost. Summation order is identical to
+    * [[graft.core.Centroid.centroid]] (coords in document order), so the
+    * produced doubles are bit-identical — asserted by the q11/q37 oracles. */
   case class StCentroid(child: Expression)
       extends UnaryExpression with CodegenFallback
       with ImplicitCastInputTypes {
     override def inputTypes = Seq(GeomData.geometryType)
     override def dataType: DataType = GeomData.centroidType
     override def nullable: Boolean = true
-    override protected def nullSafeEval(input: Any): Any =
-      Centroid.centroid(GeomData.fromRow(input.asInstanceOf[InternalRow])) match {
-        case Some((lon, lat)) => InternalRow(lon, lat)
-        case None             => null
+    override protected def nullSafeEval(input: Any): Any = {
+      val r = input.asInstanceOf[InternalRow]
+      val tag = r.getByte(0).toInt
+      if (tag == GeomType.GeometryCollection) return null // reference: NaN mean
+      if (r.isNullAt(1)) return null
+      val coords = r.getArray(1)
+      if (tag == GeomType.Point) {
+        if (coords.numElements() == 0) return null
+        val rings = coords.getArray(0)
+        if (rings.numElements() == 0) return null
+        val ps = rings.getArray(0)
+        if (ps.numElements() == 0) return null
+        val p = ps.getArray(0)
+        if (p.numElements() < 2) return null
+        return InternalRow(p.getDouble(0), p.getDouble(1))
       }
+      var sx = 0.0; var sy = 0.0; var n = 0L
+      var i = 0
+      while (i < coords.numElements()) {
+        val poly = coords.getArray(i)
+        var j = 0
+        while (j < poly.numElements()) {
+          val ring = poly.getArray(j)
+          var k = 0
+          while (k < ring.numElements()) {
+            val p = ring.getArray(k)
+            sx += p.getDouble(0); sy += p.getDouble(1); n += 1
+            k += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (n == 0) null else InternalRow(sx / n, sy / n)
+    }
     override protected def withNewChildInternal(c: Expression): StCentroid = copy(child = c)
     override def prettyName: String = "st_centroid"
   }

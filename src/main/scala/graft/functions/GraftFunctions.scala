@@ -82,6 +82,12 @@ object GraftFunctions {
     "image_synth" -> arity(1, a => graft.operators.Images.ImageSynth(a(0))),
     "image_psnr" -> arity(2, a => graft.operators.Images.ImagePsnr(a(0), a(1))),
     "image_phash" -> arity(1, a => graft.operators.Images.ImagePHash(a(0))),
+    "image_resize" -> arity(3, a => graft.operators.Media.ImageResize(a(0), a(1), a(2))),
+    "video_synth" -> arity(1, a => graft.operators.Media.VideoSynth(a(0))),
+    "video_n_frames" -> arity(1, a => graft.operators.Media.VideoNFrames(a(0))),
+    "video_frame_sample" -> arity(2, a => graft.operators.Media.VideoFrameSample(a(0), a(1))),
+    "audio_synth" -> arity(1, a => graft.operators.Media.AudioSynth(a(0))),
+    "audio_stats" -> arity(1, a => graft.operators.Media.AudioStats(a(0))),
     "image_tile_blocks" -> arity(1, a => graft.operators.Images.ImageTileBlocks(a(0)))
   )
 
@@ -176,6 +182,14 @@ object GraftFunctions {
   def image_synth(args: Column): Column = call_function("image_synth", args)
   def image_psnr(a: Column, b: Column): Column = call_function("image_psnr", a, b)
   def image_phash(bytes: Column): Column = call_function("image_phash", bytes)
+  def image_resize(bytes: Column, tw: Column, th: Column): Column =
+    call_function("image_resize", bytes, tw, th)
+  def video_synth(args: Column): Column = call_function("video_synth", args)
+  def video_n_frames(bytes: Column): Column = call_function("video_n_frames", bytes)
+  def video_frame_sample(bytes: Column, every: Int): Column =
+    call_function("video_frame_sample", bytes, lit(every))
+  def audio_synth(args: Column): Column = call_function("audio_synth", args)
+  def audio_stats(bytes: Column): Column = call_function("audio_stats", bytes)
   def image_tile_blocks(args: Column): Column = call_function("image_tile_blocks", args)
 }
 

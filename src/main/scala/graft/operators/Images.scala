@@ -59,10 +59,13 @@ object Images {
   def render(imageId: String, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val ih = idHash(imageId)
+    // bulk raster fill: per-pixel setRGB pays a ColorModel call per pixel
+    val buf = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
+      val base = y * w
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(ih, x, y, w, h)); x += 1 }
+      while (x < w) { buf(base + x) = pixel(ih, x, y, w, h); x += 1 }
       y += 1
     }
     img
@@ -290,12 +293,15 @@ object Images {
     override def prettyName: String = "image_psnr"
   }
 
-  /** Decode to dimensions only: runs the FULL decode (same codecs and
-    * validation as [[ImageDecode]]) but skips copying the pixel array into
-    * Catalyst format — the pipeline's tile-assignment stage needs decoded
-    * (w, h) and block geometry, not per-pixel values (those are verified by
-    * the q38 invariants / ImagesSpec). Saves a ~4 KB UnsafeArrayData
-    * allocation + copy per image in the hottest stage. */
+  /** Decode to dimensions only, from the codec HEADER (PNG IHDR / BMP info
+    * header / JPEG SOF — [[graft.core.FastImage.dims]]), with a
+    * full-decode fallback for unrecognized containers. The pipeline's
+    * tile-assignment stage needs (w, h) and block geometry, not per-pixel
+    * values: fully inflating 6M pixel arrays only to discard them was ~45%
+    * of the flagship tile stage's CPU and its dominant allocation source
+    * (GC). Pixel-LEVEL decode validation is the job of [[ImageDecode]] and
+    * the q38/q43 oracle invariants; a payload-corrupt image with an intact
+    * header passes here and is caught there. */
   case class ImageDecodeDims(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StructType(Seq(
@@ -303,9 +309,11 @@ object Images {
       StructField("h", IntegerType, nullable = false)))
     override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any = {
-      val d = decodeToPixels(input.asInstanceOf[Array[Byte]])
-      if (d == null) return null
-      InternalRow(d.w, d.h)
+      val b = input.asInstanceOf[Array[Byte]]
+      val d = graft.core.FastImage.dims(b)
+      if (d != null) return InternalRow(d(0), d(1))
+      val full = decodeToPixels(b) // unrecognized container: prove it decodes
+      if (full == null) null else InternalRow(full.w, full.h)
     }
     override protected def withNewChildInternal(c: Expression): ImageDecodeDims = copy(child = c)
     override def prettyName: String = "image_decode_dims"

@@ -91,7 +91,14 @@ object Snapshots {
                     else withPart.where(col("part_id").isin(pending: _*))).persist()
 
     val dataCols = df.columns
-    filtered.write.mode(SaveMode.Overwrite)
+    // co-locate each logical partition into ONE writer task: without this,
+    // every upstream task writes a file per part_id it sees (cores x nParts
+    // small files + commit objects — the file churn was 2-3 s of fixed wall
+    // per snapshot at 32 cores on tiny outputs). One file per partition,
+    // deterministic layout. At 100 TB output scale, add a salt column to
+    // the repartition key to widen write parallelism within a partition.
+    filtered.repartition(nParts, col("part_id"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part_id")
       .parquet(s"$table/data")

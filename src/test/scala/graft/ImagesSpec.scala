@@ -29,6 +29,18 @@ class ImagesSpec extends SparkTestBase {
     assert(p >= 40.0, s"JPEG PSNR $p below 40 dB")
   }
 
+  test("header-only dims agree with the full decode for every codec") {
+    for (fmt <- Seq("png", "bmp", "jpg"); (w, h) <- Seq((16, 16), (48, 32), (80, 48))) {
+      val bytes = Images.synthBytes(s"img-d-$fmt-$w", w, h, fmt)
+      val d = graft.core.FastImage.dims(bytes)
+      assert(d != null && d(0) == w && d(1) == h, s"$fmt header dims at ${w}x$h")
+      val full = Images.decodeToPixels(bytes)
+      assert(full.w == d(0) && full.h == d(1))
+    }
+    assert(graft.core.FastImage.dims(Array[Byte](1, 2, 3, 4)) == null)
+    assert(graft.core.FastImage.dims("GIF89a junk that is not supported".getBytes) == null)
+  }
+
   test("image expressions over a DataFrame: synth/decode/psnr/phash") {
     val df = (1 to 20).map(i => (s"img-$i", 32, 24, if (i % 2 == 0) "png" else "jpg"))
       .toDF("image_id", "w", "h", "fmt")
