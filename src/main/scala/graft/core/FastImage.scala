@@ -47,6 +47,10 @@ object FastImage {
     * run the full decoders). */
   def dims(bytes: Array[Byte]): Array[Int] = {
     if (bytes.length > 24 && u8(bytes, 0) == 0x89 && bytes(1) == 'P') {
+      // PNG mandates IHDR first; verify the tag so a signature-only corrupt
+      // buffer falls back to the validating decoder instead of returning
+      // whatever sits at the header offsets
+      if (bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R') return null
       val w = i32be(bytes, 16); val h = i32be(bytes, 20)
       if (w > 0 && h > 0) Array(w, h) else null
     } else if (bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M') {

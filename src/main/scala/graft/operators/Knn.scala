@@ -30,22 +30,35 @@ import org.apache.spark.storage.StorageLevel
   * action that materializes it). Per-round caches are unpersisted as soon
   * as their successor is materialized, so storage stays O(one round).
   *
-  * Fault tolerance: the per-round pending set is truncated with
+  * Fault tolerance: by default the per-round pending set is truncated with
   * `localCheckpoint(eager = true)`, which stores blocks on executors
   * WITHOUT lineage — correct and fast in local mode (this harness), but on
   * a real cluster an executor loss makes the truncated lineage
-  * unrecoverable and fails the job. At cluster scale swap in reliable
-  * `checkpoint()` to a durable checkpoint dir (or persist the pending set
-  * with replication 2): the pending set is queries-sized, i.e. tiny
-  * relative to the corpus, so the durable write is cheap per round.
+  * unrecoverable and fails the job. Pass `reliableCheckpoint = true` (with
+  * `sc.setCheckpointDir`) at cluster scale: the pending set is
+  * queries-sized, i.e. tiny relative to the corpus, so the durable write
+  * is cheap per round.
   */
 object Knn {
 
   val distExpr = "(qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat)"
 
   /** queries(query_id, qlon, qlat) x points(point_id, lon, lat) -> top-k
-    * (query_id, point_id, rnk). */
-  def knn(queries: DataFrame, points: DataFrame, k: Int, level: Int = 8): DataFrame = {
+    * (query_id, point_id, rnk).
+    *
+    * `reliableCheckpoint = true` truncates the per-round pending set with a
+    * durable `checkpoint()` (requires `sc.setCheckpointDir`) instead of
+    * executor-local `localCheckpoint()` — survives executor loss on a real
+    * cluster; the pending set is queries-sized, so the durable write is
+    * cheap per round. Local mode keeps the default (no durability need,
+    * no checkpoint-dir I/O). */
+  def knn(queries: DataFrame, points: DataFrame, k: Int, level: Int = 8,
+          reliableCheckpoint: Boolean = false): DataFrame = {
+    if (reliableCheckpoint)
+      require(queries.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "knn(reliableCheckpoint = true) needs sc.setCheckpointDir(...)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val cellH = 180.0 / (1L << level).toDouble
     val maxR = (1L << level).toInt
 
@@ -100,8 +113,7 @@ object Knn {
       // localCheckpoint: materializes the (tiny) new pending set AND
       // truncates its lineage, so the per-round plan tree stays O(1)-deep
       // instead of doubling every round (left_anti chains otherwise nest)
-      pending = pending.join(done, Seq("query_id"), "left_anti")
-        .localCheckpoint(true)
+      pending = truncate(pending.join(done, Seq("query_id"), "left_anti"))
       nPending = pending.count()
       prevPending.unpersist(false)
       r *= 2
@@ -123,7 +135,7 @@ object Knn {
     // one final materialization; eager localCheckpoint makes the result
     // self-contained (queries x k rows — tiny) so every per-round cache can
     // be released immediately after
-    val results = finishedParts.reduce(_ unionByName _).localCheckpoint(true)
+    val results = truncate(finishedParts.reduce(_ unionByName _))
     roundCaches.foreach(_.unpersist(false))
     pts.unpersist(false)
     pending.unpersist(false)

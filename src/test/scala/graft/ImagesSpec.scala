@@ -39,6 +39,10 @@ class ImagesSpec extends SparkTestBase {
     }
     assert(graft.core.FastImage.dims(Array[Byte](1, 2, 3, 4)) == null)
     assert(graft.core.FastImage.dims("GIF89a junk that is not supported".getBytes) == null)
+    // PNG signature with a corrupt chunk tag must NOT yield garbage dims
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.fill[Byte](24)(0x41)
+    assert(graft.core.FastImage.dims(fakePng) == null)
   }
 
   test("image expressions over a DataFrame: synth/decode/psnr/phash") {

@@ -66,6 +66,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(brute.size == 20 * 7)
   }
 
+  test("kNN with reliable checkpointing matches the default path") {
+    val dir = java.nio.file.Files.createTempDirectory("knn-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pts = randomPoints(500).toDF("point_id", "lon", "lat")
+    val qs = randomPoints(520).drop(500).toDF("query_id", "qlon", "qlat")
+    val a = Knn.knn(qs, pts, k = 4, level = 6)
+      .select("query_id", "point_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val b = Knn.knn(qs, pts, k = 4, level = 6, reliableCheckpoint = true)
+      .select("query_id", "point_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("kNN with k larger than point count falls back to brute force") {
     val pts = randomPoints(5).toDF("point_id", "lon", "lat")
     val qs = Seq((0L, 0.0, 0.0)).toDF("query_id", "qlon", "qlat")
