@@ -65,7 +65,7 @@ object GraftFunctions {
       require(v.isInstanceOf[Array[Byte]],
         "bloom_contains: first argument must evaluate to BINARY (serialized Bloom filter)")
       sketchexprs.BloomContains(
-        v.asInstanceOf[Array[Byte]].toIndexedSeq, a(1))
+        new sketchexprs.BloomBytes(v.asInstanceOf[Array[Byte]]), a(1))
     }),
     "vec_dot" -> arity(2, a => vecexprs.VecDot(a(0), a(1))),
     "vec_norm2" -> arity(1, a => vecexprs.VecNorm2(a(0))),

@@ -14,17 +14,28 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object sketchexprs {
 
+  /** Value wrapper giving a byte array CONTENT equality with a cached hash:
+    * structurally-equal plans compare equal (fixing canonicalization, which
+    * raw Array reference-equality defeats) without the O(filter size)
+    * element-wise hashCode a Seq[Byte] would recompute on every Catalyst
+    * semanticHash/compare — filters run to ~64 MB (Pipeline bloomCap). */
+  final class BloomBytes(val bytes: Array[Byte]) extends Serializable {
+    override lazy val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case b: BloomBytes => (b eq this) ||
+        (hashCode == b.hashCode && java.util.Arrays.equals(bytes, b.bytes))
+      case _ => false
+    }
+  }
+
   /** bloom_contains(<binary literal filter>, <long key>) -> boolean.
-    * The filter bytes are fixed at plan time (first arg must be foldable).
-    * Bytes are held as a Seq so structurally-equal plans compare equal
-    * (case-class equality on Array is reference equality, which would
-    * defeat plan canonicalization/caching). */
-  case class BloomContains(filterBytes: Seq[Byte], child: Expression)
+    * The filter bytes are fixed at plan time (first arg must be foldable). */
+  case class BloomContains(filter: BloomBytes, child: Expression)
       extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes = Seq(LongType)
     override def dataType: DataType = BooleanType
     @transient private lazy val bf: BloomFilter =
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes.toArray))
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(filter.bytes))
     override protected def nullSafeEval(key: Any): Any =
       bf.mightContainLong(key.asInstanceOf[Long])
     override protected def withNewChildInternal(c: Expression): BloomContains =

@@ -120,6 +120,11 @@ object Ann {
     val cents = quantize(
         corpus.where(pmod(col("vec_id"), lit(centroidEvery)) === 0), "cent_id", "cv")
       .withColumn("n_c", vec_norm2(col("cv")))
+    // a degenerate id distribution can leave the centroid sample empty —
+    // an empty index would silently return zero rows from an operator
+    // documented EXACT, so fall back to the brute baseline instead (one
+    // tiny index-build-time action)
+    if (cents.isEmpty) return bruteTopK(corpus, queries, k)
 
     // index build: nearest centroid per corpus vector + cell radii
     val aWin = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))

@@ -59,8 +59,10 @@ object Dedup {
       if (bands >= numHashes) bands - math.ceil(threshold * numHashes).toInt + 1
       else bands
     // zero-token docs have no shingles and therefore no signature — exclude
-    // them up front so engine and oracle agree on degenerate inputs
-    val withBands = df.where(trim(col(textCol)) =!= "").select(col(idCol).as("id"),
+    // them up front so engine and oracle agree on degenerate inputs (rlike
+    // \S, because trim() strips only spaces and a tab/newline-only doc is
+    // just as tokenless)
+    val withBands = df.where(col(textCol).rlike("\\S")).select(col(idCol).as("id"),
         minhash(col(textCol), numHashes, shingleW).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(expr(s"slice(lsh_bands(sig, $bands), 1, $probeBands)"))
@@ -86,7 +88,7 @@ object Dedup {
     * verify by full hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     // exclude zero-token docs (no tokens -> no signature), same as minhash
-    val sigs = df.where(trim(col(textCol)) =!= "")
+    val sigs = df.where(col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("bucket", expr("(sig >> (band_idx * 15)) & 32767"))

@@ -143,7 +143,8 @@ object Media {
       while (i < n && pos + 4 <= b.length) {
         val len = i32be(b, pos)
         pos += 4
-        if (pos + len > b.length) return null // truncated container
+        // negative or truncated frame length: corrupt container -> null
+        if (len < 0 || pos.toLong + len.toLong > b.length.toLong) return null
         if (i % every == 0) out += java.util.Arrays.copyOfRange(b, pos, pos + len)
         pos += len
         i += 1
@@ -203,7 +204,9 @@ object Media {
       val b = input.asInstanceOf[Array[Byte]]
       if (!isAudio(b)) return null
       val n = i32be(b, 4)
-      if (8 + n * 2 > b.length) return null
+      // long arithmetic: a hostile header n would overflow `8 + n * 2` int
+      // math past the bounds check and crash the task instead of nulling
+      if (n < 0 || 8L + n.toLong * 2L > b.length.toLong) return null
       var peak = 0
       var zc = 0
       var prev = 0

@@ -46,6 +46,23 @@ class MediaSpec extends SparkTestBase {
       .collect()(0).isNullAt(0), "non-video payload -> null")
   }
 
+  test("malformed containers null out instead of crashing the task") {
+    def be(v: Int) = Array[Byte](((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val gvid = "GVID".getBytes
+    val gaud = "GAUD".getBytes
+    val rows = Seq(
+      gvid ++ be(1) ++ be(-1),          // negative frame length
+      gvid ++ be(2) ++ be(9999),        // truncated frame
+      gaud ++ be(0x40000000),           // n*2 overflows int bounds check
+      gaud ++ be(-5)                    // negative sample count
+    ).map(Tuple1(_)).toDF("b")
+    val r = rows.select(video_frame_sample($"b", 2).as("f"), audio_stats($"b").as("s"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(1).isNullAt(0), "corrupt video -> null")
+    assert(r(2).isNullAt(1) && r(3).isNullAt(1), "corrupt audio -> null")
+  }
+
   test("audio container: exact integer sample stats") {
     val df = Seq(("img-a1", 1000)).toDF("id", "n")
     val st = df.select(audio_stats(audio_synth(struct($"id", $"n"))))

@@ -179,6 +179,14 @@ class OperatorsSpec extends SparkTestBase {
     val i2 = Ann.ivfTopK(tiny, tiny, k = 5, centroidEvery = 3, nProbe = 1)
       .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(i2 == b2)
+    // empty centroid sample (no vec_id divisible by centroidEvery): must
+    // fall back to brute force, not silently return zero rows
+    val odd = vecs.where($"vec_id" % 2 === 1)
+    val i3 = Ann.ivfTopK(odd, odd.limit(3), k = 3, centroidEvery = 2, nProbe = 1)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val b3 = Ann.bruteTopK(odd, odd.limit(3), k = 3)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(i3 == b3 && i3.nonEmpty)
   }
 
   test("blocked theta-joins: output invariant across block counts (incl. auto)") {
@@ -200,7 +208,10 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("zero-token docs never acquire signatures (minhash + simhash)") {
-    val docs = Seq((1L, ""), (2L, "   "), (3L, "real text here with words"),
+    // includes tab/newline-only docs: Spark trim() strips only spaces, so a
+    // trim-based guard would still pair (5, 6)
+    val docs = Seq((1L, ""), (2L, "   "), (5L, "\t\t"), (6L, "\n \t"),
+      (3L, "real text here with words"),
       (4L, "real text here with words")).toDF("doc_id", "text")
     val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
