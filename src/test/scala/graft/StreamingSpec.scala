@@ -41,6 +41,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming spatial pipeline: stream-static cell equijoin + tile agg") {
+    // the flagship's operators composed under Structured Streaming: a point
+    // stream joins the STATIC polygon cover on cell id (stream-static inner
+    // join — no state needed), ray-cast refines, tiles aggregate per
+    // watermark window. Results must equal the batch join on the same rows.
+    import graft.functions.GraftFunctions._
+    implicit val sqlCtx = spark.sqlContext
+    val polys = Seq((1L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        (2L, "POLYGON ((-20 -20, -5 -20, -5 -5, -20 -5, -20 -20))"))
+      .toDF("poly_id", "wkt")
+      .withColumn("geom", st_geomfromtext(col("wkt")))
+      .select(col("poly_id"), explode(st_cover(col("geom"), 10)).as("cv"),
+        st_rings(col("geom")).as("rings"))
+      .select(col("poly_id"), col("cv.cell").as("cell"), col("cv.full").as("full"), col("rings"))
+
+    val input = MemoryStream[(Long, Double, Double, Timestamp)]
+    val joined = input.toDF().toDF("point_id", "lon", "lat", "ts")
+      .withWatermark("ts", "10 minutes")
+      .withColumn("cell", explode(st_cell_ancestors(col("lon"), col("lat"), 10)))
+      .join(polys, "cell")
+      .where(col("full") || st_contains_rings(col("rings"), col("lon"), col("lat")))
+      .groupBy(window(col("ts"), "15 minutes"), col("poly_id"))
+      .agg(count(lit(1)).as("pts"))
+      .select(col("window.start").as("ws"), col("poly_id"), col("pts"))
+
+    val q = joined.writeStream.format("memory").queryName("stream_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, 5.0, 5.0, ts(1)), (11L, 5.5, 9.5, ts(2)),
+        (12L, -10.0, -10.0, ts(3)), (13L, 50.0, 50.0, ts(4))) // 13: no match
+      q.processAllAvailable()
+      input.addData((14L, 5.0, 5.0, ts(50))) // advance watermark, close window
+      q.processAllAvailable()
+      val out = spark.table("stream_join").as[(Timestamp, Long, Long)].collect().toSet
+      assert(out.contains((ts(0), 1L, 2L)), s"poly 1 should hold points 10+11: $out")
+      assert(out.contains((ts(0), 2L, 1L)), s"poly 2 should hold point 12: $out")
+      assert(!out.exists(r => r._2 != 1L && r._2 != 2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user event counter") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
