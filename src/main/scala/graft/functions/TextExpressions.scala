@@ -21,13 +21,6 @@ object textexprs {
     z ^ (z >>> 31)
   }
 
-  def hashString(s: String, seed: Long): Long = {
-    var h = seed
-    var i = 0
-    while (i < s.length) { h = mix64(h ^ s.charAt(i).toLong); i += 1 }
-    h
-  }
-
   /** PORTABLE 60-bit string hash: first 15 hex chars of md5, i.e. the value
     * a SQL oracle reproduces verbatim as
     * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`. Always >= 0. Used by
