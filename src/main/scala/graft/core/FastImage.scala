@@ -33,9 +33,14 @@ object FastImage {
   @inline private def i16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
   def decode(bytes: Array[Byte]): Decoded = {
-    if (bytes.length > 8 && u8(bytes, 0) == 0x89 && bytes(1) == 'P') decodePng(bytes)
-    else if (bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else null
+    // structurally corrupt payloads (IDAT length past the buffer, IDAT
+    // before IHDR, broken deflate stream, ...) must honor the null contract
+    // — dirty web-scale input is a data problem, not a task-killing one
+    try {
+      if (bytes.length > 8 && u8(bytes, 0) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+      else if (bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else null
+    } catch { case _: Exception => null }
   }
 
   /** HEADER-ONLY dimensions — PNG IHDR, BMP info header, or JPEG SOF marker

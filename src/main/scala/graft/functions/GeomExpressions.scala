@@ -230,13 +230,16 @@ object exprs {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def eval(input: InternalRow): Any = {
-      val g = children(0).eval(input)
-      if (g == null) return null
-      val feature = children(1).eval(input).asInstanceOf[Boolean]
-      val numeric = children(2).eval(input).asInstanceOf[Boolean]
-      val fmt = children(3).eval(input).asInstanceOf[Int]
+      // null-safe over EVERY argument: unboxing a null flag would silently
+      // coerce it to false/0 instead of propagating null like the rest of
+      // the st_* family
+      val vals = children.map(_.eval(input))
+      if (vals.exists(_ == null)) return null
+      val Seq(g, feature, numeric, fmt) = vals
       UTF8String.fromString(
-        GeoJson.toJson(GeomData.fromRow(g.asInstanceOf[InternalRow]), feature, numeric, fmt))
+        GeoJson.toJson(GeomData.fromRow(g.asInstanceOf[InternalRow]),
+          feature.asInstanceOf[Boolean], numeric.asInstanceOf[Boolean],
+          fmt.asInstanceOf[Int]))
     }
     override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): StAsGeoJson =
       copy(children = cs)

@@ -73,8 +73,13 @@ object textexprs {
   case class MinHash(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
     override protected def nullSafeEval(text: Any, nAny: Any, wAny: Any): Any = {
       val sh = shingles(text.asInstanceOf[UTF8String].toString, wAny.asInstanceOf[Int])
+      // a zero-shingle doc has NO signature: returning the all-MaxValue
+      // vector would make every empty doc a perfect near-duplicate of every
+      // other empty doc, which the shingle-based oracles never emit
+      if (sh.isEmpty) return null
       val n = nAny.asInstanceOf[Int]
       val sig = Array.fill(n)(Long.MaxValue)
       var i = 0
@@ -127,8 +132,10 @@ object textexprs {
   case class SimHash(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true
     override protected def nullSafeEval(text: Any): Any = {
       val toks = text.asInstanceOf[UTF8String].toString.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) return null // token-less doc: no signature (see MinHash)
       val acc = new Array[Int](60)
       var i = 0
       while (i < toks.length) {

@@ -50,14 +50,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
       threshold: Double = 0.7): DataFrame = {
+    // bands beyond the signature length would hash ZERO elements — LshBands
+    // gives every doc the identical constant key there, degenerating the
+    // candidate join into an all-pairs cross product — so clamp first
+    val nBands = math.min(bands, numHashes)
     // one-row-band mode (bands == numHashes, recall provably 1.0): a pair
     // above threshold agrees on >= ceil(t*n) positions, so it disagrees on
     // at most n - ceil(t*n) — among any fixed n - ceil(t*n) + 1 positions
     // at least one agrees (pigeonhole). Probing only that prefix of bands
     // halves the index explode at t = 0.5 with zero recall loss.
     val probeBands =
-      if (bands >= numHashes) bands - math.ceil(threshold * numHashes).toInt + 1
-      else bands
+      if (nBands >= numHashes) nBands - math.ceil(threshold * numHashes).toInt + 1
+      else nBands
     // zero-token docs have no shingles and therefore no signature — exclude
     // them up front so engine and oracle agree on degenerate inputs (rlike
     // \S, because trim() strips only spaces and a tab/newline-only doc is
@@ -65,7 +69,7 @@ object Dedup {
     val withBands = df.where(col(textCol).rlike("\\S")).select(col(idCol).as("id"),
         minhash(col(textCol), numHashes, shingleW).as("sig"))
       .select(col("id"), col("sig"),
-        posexplode(expr(s"slice(lsh_bands(sig, $bands), 1, $probeBands)"))
+        posexplode(expr(s"slice(lsh_bands(sig, $nBands), 1, $probeBands)"))
           .as(Seq("band_idx", "bucket")))
     val a = withBands.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band_idx"), col("bucket"))
     val b = withBands.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band_idx"), col("bucket"))
@@ -128,6 +132,11 @@ object Dedup {
         array_distinct(split(col(textCol), " ")).as("toks"))
       .withColumn("toks", expr(s"filter(toks, t -> length(t) >= $minTokenLen)"))
       .withColumn("sz", size(col("toks")))
+      // Jaccard over two EMPTY sets is 0/0: such docs pair with nothing in
+      // the naive/prefix plan, so drop them here too — otherwise the dict
+      // plan would report them as mask-0 twins with J = 1.0 and the two
+      // "provably equivalent" plans would disagree on degenerate input
+      .where(col("sz") > 0)
 
   /** Dictionary/bitmask plan (vocab <= 64): every token set becomes a long
     * bitmask; the blocked 1-Bucket-Theta self-join (same shape as
@@ -146,11 +155,16 @@ object Dedup {
     import spark.implicits._
     val nBlocks = ThetaBlocks.resolve(spark, blocks)
     val vmap = typedLit(vocab.sorted.zipWithIndex.toMap)
+    // cached: this subtree feeds FOUR joins below (both sides of the
+    // same-mask pairing, both sides of the mask-pair expansion) — without
+    // persist the tokenize+mask pass would re-read the corpus four times.
+    // Spark's ContextCleaner reclaims the blocks once the plan is GC'd.
     val withMask = toks
       .withColumn("mask", aggregate(col("toks"), lit(0L),
         (acc, t) => acc.bitwiseOR(
           call_function("shiftleft", lit(1L), element_at(vmap, t)))))
       .select("id", "mask")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masks = withMask.select("mask").distinct()
 
     // same-mask pairs: J = 1.0 by construction (row-level self-join — no

@@ -161,18 +161,23 @@ object Images {
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else ""
 
+  /** Returns null for undecodable payloads — including those carrying a
+    * VALID format signature followed by garbage (a reader exception on
+    * dirty web-scale bytes is a data problem, not a task-killing one). */
   def decode(bytes: Array[Byte]): BufferedImage = {
-    val fmt = sniffFormat(bytes)
-    if (fmt.isEmpty) return ImageIO.read(new ByteArrayInputStream(bytes)) // fallback
-    val reader = localReaders.get()(fmt)
-    val in = new ByteArrayImageInputStream(bytes)
     try {
-      reader.setInput(in, true, true)
-      reader.read(0)
-    } finally {
-      reader.setInput(null)
-      in.close()
-    }
+      val fmt = sniffFormat(bytes)
+      if (fmt.isEmpty) return ImageIO.read(new ByteArrayInputStream(bytes)) // fallback
+      val reader = localReaders.get()(fmt)
+      val in = new ByteArrayImageInputStream(bytes)
+      try {
+        reader.setInput(in, true, true)
+        reader.read(0)
+      } finally {
+        reader.setInput(null)
+        in.close()
+      }
+    } catch { case _: Exception => null }
   }
 
   def synthBytes(imageId: String, w: Int, h: Int, fmt: String): Array[Byte] =
@@ -280,12 +285,17 @@ object Images {
     override def prettyName: String = "image_synth"
   }
 
-  /** PSNR between two encoded images (dB; 999.0 when identical). */
+  /** PSNR between two encoded images (dB; 999.0 when identical; null when
+    * either side is undecodable). */
   case class ImagePsnr(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val p = psnr(decode(a.asInstanceOf[Array[Byte]]), decode(b.asInstanceOf[Array[Byte]]))
+      val ia = decode(a.asInstanceOf[Array[Byte]])
+      val ib = decode(b.asInstanceOf[Array[Byte]])
+      if (ia == null || ib == null) return null
+      val p = psnr(ia, ib)
       if (p.isInfinite) 999.0 else p
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): ImagePsnr =
@@ -319,12 +329,15 @@ object Images {
     override def prettyName: String = "image_decode_dims"
   }
 
-  /** Perceptual hash of an encoded image. */
+  /** Perceptual hash of an encoded image (null when undecodable). */
   case class ImagePHash(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(input: Any): Any =
-      phash(decode(input.asInstanceOf[Array[Byte]]))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val img = decode(input.asInstanceOf[Array[Byte]])
+      if (img == null) null else phash(img)
+    }
     override protected def withNewChildInternal(c: Expression): ImagePHash = copy(child = c)
     override def prettyName: String = "image_phash"
   }

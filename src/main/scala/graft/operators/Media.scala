@@ -149,6 +149,9 @@ object Media {
         pos += len
         i += 1
       }
+      // container cut BETWEEN frame headers: same corruption class as a
+      // truncated payload — null, never a shorter-but-valid-looking array
+      if (i < n) return null
       new GenericArrayData(out.toArray)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VideoFrameSample =

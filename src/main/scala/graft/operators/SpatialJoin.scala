@@ -121,8 +121,11 @@ object SpatialJoin {
             (df: DataFrame) => df.join(hotDf, Seq("cell"), "left_anti"))
         }
       val coldJoin = isCold(pts).join(isCold(cover), "cell")
+      // salt by a hash of ALL point columns, not a hard-coded id name: the
+      // points schema is caller-defined (point_id here, image_id in the
+      // pipeline) and the salt only needs per-row dispersion
       val hotPts = isHot(pts)
-        .withColumn("salt", pmod(hash(col("point_id")), lit(salt)))
+        .withColumn("salt", pmod(hash(points.columns.map(col): _*), lit(salt)))
       val hotCover = isHot(cover)
         .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
       val hotJoin = hotPts.join(hotCover, Seq("cell", "salt"))

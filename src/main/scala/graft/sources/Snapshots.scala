@@ -74,7 +74,13 @@ object Snapshots {
     val committed = committedMetas(spark, table, snapshotId)
     val done = committed.map(_.partId).toSet
     val pendingAll = (0 until nParts).filterNot(done.contains)
-    if (pendingAll.isEmpty) { ensureCurrent(table, snapshotId); return committed }
+    if (pendingAll.isEmpty) {
+      // a crash can land AFTER the last lineage append but BEFORE the
+      // manifest write — the resume must still complete the commit fully
+      ensureManifest(spark, table, snapshotId, operation, nParts)
+      ensureCurrent(table, snapshotId)
+      return committed
+    }
     val pending = pendingAll.take(maxPartsPerRun)
     val partialRun = pending.length < pendingAll.length
 
@@ -123,8 +129,17 @@ object Snapshots {
     // manifest row, no CURRENT flip — the snapshot is not yet complete
     if (partialRun) return committed ++ metas
 
-    // snapshot manifest (skipped when a crashed-then-resumed run already
-    // appended this snapshot's row — manifest stays one row per snapshot)
+    ensureManifest(spark, table, snapshotId, operation, nParts)
+    ensureCurrent(table, snapshotId)
+    committed ++ metas
+  }
+
+  /** Append the snapshot's manifest row if absent (idempotent — a
+    * crashed-then-resumed run must not duplicate it: the manifest stays one
+    * row per snapshot). */
+  private def ensureManifest(spark: SparkSession, table: String, snapshotId: Long,
+                             operation: String, nParts: Int): Unit = {
+    import spark.implicits._
     val manifestExists = Files.exists(Paths.get(s"${metaDir(table)}/snapshots")) &&
       !readSnapshots(spark, table).where(col("snapshot_id") === snapshotId).isEmpty
     if (!manifestExists) {
@@ -132,8 +147,6 @@ object Snapshots {
         .toDF("snapshot_id", "ts", "operation", "n_partitions")
         .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/snapshots")
     }
-    ensureCurrent(table, snapshotId)
-    committed ++ metas
   }
 
   /** Atomic CURRENT pointer flip (idempotent). */

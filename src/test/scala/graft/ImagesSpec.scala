@@ -43,6 +43,14 @@ class ImagesSpec extends SparkTestBase {
     val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
       Array.fill[Byte](24)(0x41)
     assert(graft.core.FastImage.dims(fakePng) == null)
+    // valid signature + garbage payload: every decode surface nulls instead
+    // of throwing (signature-only corruption is dirty data, not a bug)
+    assert(graft.core.FastImage.decode(fakePng) == null)
+    assert(Images.decode(fakePng) == null)
+    val r = Seq(Tuple1(fakePng)).toDF("b")
+      .select(image_decode($"b"), image_phash($"b"), image_psnr($"b", $"b"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
   test("image expressions over a DataFrame: synth/decode/psnr/phash") {

@@ -220,5 +220,33 @@ class OperatorsSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(sh == Set((3L, 4L)))
     assert(graft.functions.textexprs.shingles("   ", 3).isEmpty)
+    // direct SQL callers see null signatures for token-less docs, not the
+    // degenerate all-MaxValue / all-zero values
+    val sigs = docs.select(minhash(col("text"), 16, 3).as("mh"), simhash(col("text")).as("sh"))
+      .collect()
+    assert(sigs.count(r => r.isNullAt(0)) == 4 && sigs.count(r => r.isNullAt(1)) == 4)
+  }
+
+  test("jaccard: docs whose token sets filter to empty pair with nothing") {
+    // minTokenLen filters 'a b' to the EMPTY set: the dict plan must not
+    // report empty-set twins as J=1.0 while the prefix plan emits nothing
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "longword other words"),
+      (4L, "longword other words")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9, minTokenLen = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)), s"empty-set docs must not pair: $pairs")
+  }
+
+  test("minhash bands beyond the signature length are clamped, not constant-key") {
+    val docs = (0 until 30).map(i => (i.toLong,
+      if (i % 2 == 0) s"alpha beta gamma delta epsilon zeta token$i"
+      else s"totally different words here number $i unique")).toDF("doc_id", "text")
+    val sane = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val clamped = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 64, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(clamped == sane, "bands > numHashes must behave as bands == numHashes")
   }
 }
