@@ -50,7 +50,9 @@ object Bench {
     val work = s"/tmp/graft-bench-${sfDir.replaceAll("[^0-9.a-z]", "")}"
     var pipelineRps = 0.0
     if (wanted("pipeline")) try {
-      if (!new java.io.File(s"$work/images").exists())
+      // images_count.txt is written last — its presence proves a COMPLETE
+      // prepared table (a crashed prepare leaves the bare images dir)
+      if (!new java.io.File(s"$work/images_count.txt").exists())
         Pipeline.prepare(spark, sfDir, work)
       // clean output table so each run does full work
       def rm(f: java.io.File): Unit = {

@@ -64,7 +64,10 @@ object ScaleBench {
 
     val prep = session(32)
     try {
-      if (!new java.io.File(s"$work/images").exists())
+      // the count file is written LAST: a crashed prepare (e.g. ENOSPC)
+      // leaves the images dir without it, so the retry re-prepares instead
+      // of benchmarking a truncated table
+      if (!new java.io.File(s"$work/images_count.txt").exists())
         Pipeline.prepareN(prep, nImages, sfDir, work)
     } finally prep.stop()
 
