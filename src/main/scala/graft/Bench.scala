@@ -20,9 +20,19 @@ object Bench {
   def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // measured passes (median reported); >1 makes the committed number a
+    // median-of-N with per-query spread instead of one retained sample
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -35,59 +45,102 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // optional comma-separated filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1))
 
-    // flagship pipeline: prepare once + ONE unmeasured warmup run, then the
-    // measured run. The warmup makes the protocol deterministic: without it
-    // the reported number depends on whether the prepared input survived in
-    // /tmp (prepare itself JIT/codegen-warms the whole stack), which is why
-    // earlier rounds measured anywhere between 9 and 19 s for the identical
-    // job. What's reported is the steady-state cost a long-lived cluster
-    // job actually pays per run — same warm protocol as ScaleBench.
+    // UNMEASURED warmup pass over every query at the smallest SF: one cheap
+    // execution per query JIT/codegen-warms every code path — including the
+    // JPEG/PNG codec stack behind q38/q43/q47, whose first-in-a-fresh-JVM
+    // execution is what produced the round-3 driver-artifact spike (q38
+    // 24 s vs 4.7 s for identical code). Kept separate from the measured
+    // runs below: what's reported is the steady-state per-run cost a
+    // long-lived cluster job pays, same warm protocol as ScaleBench.
+    val warmDir = "/root/testdata/sf0.001"
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
+        new java.io.File(warmDir).isDirectory) {
+      sorted.foreach { case (name, fn) =>
+        try force(fn(spark, warmDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
+      }
+    }
+
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+
+    // flagship pipeline: prepare once + ONE unmeasured warmup run before
+    // the measured runs (without it the first run's JIT/codegen state
+    // depends on whether the prepared input survived in /tmp, which is why
+    // early rounds measured anywhere between 9 and 19 s for identical code)
     val work = s"/tmp/graft-bench-${sfDir.replaceAll("[^0-9.a-z]", "")}"
-    var pipelineRps = 0.0
+    var pipelineReady = false
     if (wanted("pipeline")) try {
       // images_count.txt is written last — its presence proves a COMPLETE
       // prepared table (a crashed prepare leaves the bare images dir)
       if (!new java.io.File(s"$work/images_count.txt").exists())
         Pipeline.prepare(spark, sfDir, work)
-      // clean output table so each run does full work
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
-      }
       rm(new java.io.File(s"$work/tile_stats"))
       Pipeline.run(spark, work) // warmup, unrecorded
-      rm(new java.io.File(s"$work/tile_stats"))
-      val t0 = System.nanoTime()
-      val (_, n) = Pipeline.run(spark, work)
-      val sec = (System.nanoTime() - t0) / 1e9
-      results("pipeline") = sec
-      pipelineRps = n / sec
+      pipelineReady = true
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
-        results("pipeline") = -1.0
+        System.err.println(s"[bench] pipeline prepare/warmup failed: ${e.getMessage}")
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        force(fn(spark, sfDir))
-        results(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          results(name) = -1.0
+    // measured passes: per-query median over `runs` (clean output table per
+    // pass so every pass does full work)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    def record(name: String, sec: Double): Unit =
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
+    var pipelineRpsSamples = Vector.empty[Double]
+    for (_ <- 1 to runs) {
+      if (wanted("pipeline")) {
+        if (pipelineReady) try {
+          rm(new java.io.File(s"$work/tile_stats"))
+          val t0 = System.nanoTime()
+          val (_, n) = Pipeline.run(spark, work)
+          val sec = (System.nanoTime() - t0) / 1e9
+          record("pipeline", sec)
+          pipelineRpsSamples :+= n / sec
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+            record("pipeline", -1.0)
+        } else record("pipeline", -1.0)
+      }
+      sorted.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          force(fn(spark, sfDir))
+          record(name, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            record(name, -1.0)
+        }
       }
     }
 
+    val results = samples.map { case (k, v) => k -> median(v.filter(_ >= 0)) }
+    val pipelineRps = median(pipelineRpsSamples).max(0.0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipelineRps%.1f}"""
+    // per-query spread (max - min over the samples) documents run-to-run
+    // variance when runs > 1; extra keys are ignored by the driver parser
+    val spread =
+      if (runs <= 1) ""
+      else {
+        val sp = samples.map { case (k, v) =>
+          val ok = v.filter(_ >= 0)
+          "\"" + k + "\":" + f"${if (ok.isEmpty) -1.0 else ok.max - ok.min}%.3f"
+        }.mkString("{", ",", "}")
+        s""","runs":$runs,"spread":$sp"""
+      }
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipelineRps%.1f$spread}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     catch { case _: Throwable => () }
     spark.stop()

@@ -401,8 +401,22 @@ object SparkEntry {
       // provably 1.0, so the hash compare must match bit-for-bit
       reg(s)
       val e = t(s, dir, "embeddings")
-      Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10,
-          centroidEvery = 50, nProbe = 3)
+      Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10, nProbe = 3)
+        .select(col("query_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy("query_id", "rnk")
+    }),
+    "q50_ann_lsh" -> ((s, dir) => {
+      // the probabilistic ANN variant, oracle-pinned in its PROVABLE-recall
+      // regime: nBits = 1 with hamming-1 multi-probe spans the entire code
+      // space ({b, b xor 1} = both buckets), so recall is exactly 1.0 by
+      // construction and the bucketed machinery — vec_lsh_bucket hashing,
+      // probe expansion, candidate dedup, exact re-rank, tie-breaks — must
+      // match the brute-force oracle bit-for-bit. Recall at production
+      // coarseness (nBits = 6-8) stays the OperatorsSpec property test.
+      reg(s)
+      val e = t(s, dir, "embeddings")
+      Ann.lshTopK(e, e.where(col("vec_id") % 40 === 0), k = 8, nBits = 1)
         .select(col("query_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
           col("dist2").cast("long").as("dist2"))
         .orderBy("query_id", "rnk")
@@ -787,6 +801,15 @@ object SparkEntry {
           "SELECT query_id, vec_id, rnk, CAST(dist2 AS BIGINT) AS dist2 FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rnk FROM pairs) " +
           "WHERE rnk <= 10 ORDER BY query_id, rnk"),
+      "q50_ann_lsh" ->
+        ("WITH ev AS (SELECT vec_id, j, floor(CAST(embedding[j] AS DOUBLE) * 1000.0) AS x " +
+          "FROM embeddings, generate_series(1, 64) t(j)), " +
+          "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+          "SUM((q.x - c.x) * (q.x - c.x)) AS dist2 FROM ev q JOIN ev c " +
+          "ON q.j = c.j AND q.vec_id % 40 = 0 AND q.vec_id <> c.vec_id GROUP BY 1, 2) " +
+          "SELECT query_id, vec_id, rnk, CAST(dist2 AS BIGINT) AS dist2 FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rnk FROM pairs) " +
+          "WHERE rnk <= 8 ORDER BY query_id, rnk"),
       "q42_snapshot_resume" ->
         ("SELECT CAST(1 AS BIGINT) AS snapshot_id, event_id % 8 AS part_id, " +
           "count(*) AS row_count, count(*) AS data_rows " +

@@ -28,12 +28,17 @@ object WktView {
 
   /** Leaflet setView takes [lat, lng] — note the swap from the reference's
     * `center = c(longitude, latitude)` argument order (it swaps internally
-    * via leaflet::setView(lng, lat)). */
-  def html(g: Geom, zoom: Int): String = {
-    val (lon, lat) = Centroid.centroid(g).getOrElse(
-      throw new IllegalArgumentException("wktview: empty geometry has no view center"))
-    // properties(style = list(NULL)) analog: a Feature with an empty style
-    val feat = GeoJson.withProperties(GeoJson.toJson(g, feature = true), "{}", null)
-    s"$head$lat,$lon$midZoom$zoom$midGeo$feat$tail"
-  }
+    * via leaflet::setView(lng, lat)).
+    *
+    * Returns null when the geometry is empty (no centroid -> no view
+    * center) — the same null contract as the sibling st_* expressions
+    * (st_centroid), not a task-killing throw. */
+  def html(g: Geom, zoom: Int): String =
+    Centroid.centroid(g) match {
+      case None => null
+      case Some((lon, lat)) =>
+        // properties(style = list(NULL)) analog: Feature with an empty style
+        val feat = GeoJson.withProperties(GeoJson.toJson(g, feature = true), "{}", null)
+        s"$head$lat,$lon$midZoom$zoom$midGeo$feat$tail"
+    }
 }

@@ -299,9 +299,15 @@ object exprs {
       with ImplicitCastInputTypes {
     override def inputTypes = Seq(StringType, IntegerType)
     override def dataType: DataType = StringType
-    override protected def nullSafeEval(wkt: Any, zoom: Any): Any =
-      UTF8String.fromString(WktView.html(
-        WktParser.parse(wkt.asInstanceOf[UTF8String].toString), zoom.asInstanceOf[Int]))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(wkt: Any, zoom: Any): Any = {
+      // junk WKT still throws (the reference's not_some error contract,
+      // FunctionsSpec), but an EMPTY geometry has no view center and
+      // follows st_centroid's null contract instead of killing the task
+      val h = WktView.html(
+        WktParser.parse(wkt.asInstanceOf[UTF8String].toString), zoom.asInstanceOf[Int])
+      if (h == null) null else UTF8String.fromString(h)
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StWktView =
       copy(left = l, right = r)
     override def prettyName: String = "st_wktview"

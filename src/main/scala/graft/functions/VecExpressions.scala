@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Dense-vector kernels for the embedding pipeline (ANN / near-dup cosine).
   *
@@ -150,6 +150,55 @@ object vecexprs {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecLshBucket =
       copy(left = l, right = r)
     override def prettyName: String = "vec_lsh_bucket"
+  }
+
+  /** vec_nearest(v): argmin over a FIXED centroid matrix carried inside the
+    * expression (flattened row-major `double[]`, `dim` doubles per
+    * centroid) -> struct(cell int, d2 double) = nearest centroid index and
+    * exact squared distance. Ties break on the LOWER centroid index, the
+    * same (d2, cent_id) ordering the previous crossJoin+window plan used.
+    *
+    * This is the IVF index-build kernel: the centroid set is capped
+    * independently of corpus size (Ann.centroidCap), so the matrix is a
+    * bounded driver-side object (<= 4096 x dim doubles ~ 2 MB) shipped once
+    * per task like any closure constant — the assignment pass is one NARROW
+    * projection over the corpus with zero joins, zero shuffle and no
+    * per-row allocation beyond the 2-field result row. CodegenFallback is
+    * deliberate: the O(C*dim) primitive loop inside eval dominates the
+    * per-row cost, and a generated struct constructor would buy nothing.
+    *
+    * The case class holds the matrix as a plain Array (JVM default
+    * toString), so plan strings stay O(1) — a typedLit matrix child would
+    * re-inflate every explain/plan-description with C*dim literals (the
+    * round-2 plan-printing OOM lesson). */
+  case class VecNearest(child: Expression, flatCents: Array[Double], dim: Int)
+      extends UnaryExpression with ExpectsInputTypes with codegen.CodegenFallback {
+    require(dim > 0 && flatCents.length % dim == 0 && flatCents.length > 0,
+      "vec_nearest needs a non-empty row-major centroid matrix")
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("d2", DoubleType, nullable = false)))
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      val nCents = flatCents.length / dim
+      var best = 0
+      var bestD2 = Double.MaxValue
+      var c = 0
+      while (c < nCents) {
+        val base = c * dim
+        var s = 0.0
+        var j = 0
+        while (j < n) { val d = v.getDouble(j) - flatCents(base + j); s += d * d; j += 1 }
+        if (s < bestD2) { bestD2 = s; best = c } // strict: ties keep lower index
+        c += 1
+      }
+      new GenericInternalRow(Array[Any](best, bestD2))
+    }
+    override protected def withNewChildInternal(c: Expression): VecNearest =
+      copy(child = c)
+    override def prettyName: String = "vec_nearest"
   }
 
   /** squared L2 norm: dot(v, v). */

@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions.{vec_dot, vec_lsh_bucket, vec_norm2}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search and cosine similarity join over an
   * embedding column (array<float>).
@@ -89,14 +90,29 @@ object Ann {
       .select("query_id", "vec_id", "rnk", "dist2")
   }
 
+  /** Centroid count for an n-row corpus: ~4*sqrt(n), floored at 16 and
+    * CAPPED at `maxCentroids` — independent of corpus size past the cap, so
+    * the index-build broadcast and the per-row assignment cost stop growing
+    * with n (the round-3 quadratic-at-default defect). At the 4096 default
+    * the matrix is <= 2 MB of doubles for 64-dim vectors. */
+  def centroidCap(n: Long, maxCentroids: Int = 4096): Int =
+    math.min(math.max(16L, 4L * math.sqrt(n.toDouble).toLong), maxCentroids.toLong).toInt
+
   /** EXACT top-k via an IVF (inverted-file) index with triangle-inequality
     * cell pruning — the oracle-provable ANN scale path (vs [[bruteTopK]]'s
     * O(|q| * n) crossJoin and [[lshTopK]]'s probabilistic recall).
     *
-    * Index: every corpus vector is assigned to its nearest "centroid"
-    * (a deterministic 1-in-`centroidEvery` sample of the corpus itself);
-    * each cell records its radius r_c = max member distance to the
-    * centroid. Search:
+    * Index: centroids are a deterministic pseudo-random sample of the
+    * corpus itself — the min(4*sqrt(n), `maxCentroids`) lowest rows by
+    * (hash(vec_id), vec_id), one distributed top-C pass ([[centroidCap]]).
+    * Exactness never depends on WHICH centroids are chosen (the triangle
+    * bound below holds for any partition of the corpus), only pruning
+    * efficiency does, and a uniform hash sample tracks the data
+    * distribution. Every corpus vector is assigned to its nearest centroid
+    * by the NARROW [[graft.functions.vecexprs.VecNearest]] kernel (the
+    * capped matrix rides inside the expression — no join, no shuffle, no
+    * corpus-proportional broadcast); each cell records its radius
+    * r_c = max member distance. Search:
     *
     *   phase 1 — each query probes its `nProbe` nearest cells and ranks the
     *     members found there exactly; the kth-best distance d_k (an UPPER
@@ -108,45 +124,70 @@ object Ann {
     *     probes only). Since assignment is a partition, each (query,
     *     candidate) pair appears once: no dedup shuffle.
     *
-    * Scale shape: centroids are the only broadcast (C = n/centroidEvery —
-    * keep C fixed and assign hierarchically past ~10^8 rows); assignment is
-    * one narrow O(n*C) kernel pass + one corpus shuffle; the probe join is
-    * a plain equijoin on cell id. Nothing is ever all-pairs and the corpus
-    * is never broadcast. Exactness has no data assumptions, so the DuckDB
-    * brute-force oracle must match bit-for-bit (q41). */
+    * Scale shape: the only broadcasts are the capped centroid frame (query
+    * side) and the per-query probe lists; the corpus-side assignment is ONE
+    * narrow kernel pass whose result is persisted (MEMORY_AND_DISK) so the
+    * d_k and phase-2 subtrees reuse it instead of recomputing it per
+    * consumer (the round-3 5x-re-execution smell); the probe join is a
+    * plain equijoin on cell id. Nothing is ever all-pairs and the corpus is
+    * never broadcast. Exactness has no data assumptions, so the DuckDB
+    * brute-force oracle must match bit-for-bit (q41).
+    *
+    * Lifecycle: the two persisted intermediates (assignment, query-centroid
+    * distances) back the RETURNED plan, so they cannot be unpersisted here;
+    * they are freed by Spark's ContextCleaner when the result goes out of
+    * scope. A service issuing many query batches over one corpus should
+    * build the index once and reuse it — write `assigned` as a
+    * cell-bucketed table (the [[Knn.writeCelledCorpus]] pattern) instead of
+    * re-deriving it per call. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidEvery: Int = 50, nProbe: Int = 4): DataFrame = {
+              maxCentroids: Int = 4096, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = quantize(corpus, "vec_id", "v").withColumn("n_v", vec_norm2(col("v")))
-    val cents = quantize(
-        corpus.where(pmod(col("vec_id"), lit(centroidEvery)) === 0), "cent_id", "cv")
-      .withColumn("n_c", vec_norm2(col("cv")))
-    // a degenerate id distribution can leave the centroid sample empty —
-    // an empty index would silently return zero rows from an operator
-    // documented EXACT, so fall back to the brute baseline instead (one
-    // tiny index-build-time action)
-    if (cents.isEmpty) return bruteTopK(corpus, queries, k)
+    // index build, step 1: the capped deterministic sample. count() + a
+    // distributed top-C are the two (cheap, 2-column) index-build actions.
+    val n = c.count()
+    if (n == 0) return bruteTopK(corpus, queries, k)
+    val cCap = centroidCap(n, math.max(1, maxCentroids))
+    val centVecs: Array[Array[Double]] = c
+      .select(col("vec_id"), col("v"))
+      .orderBy(hash(col("vec_id")), col("vec_id")).limit(cCap)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val dim = centVecs.map(_.length).max
+    val flat = new Array[Double](centVecs.length * dim) // short vecs zero-pad
+    centVecs.zipWithIndex.foreach { case (v, i) =>
+      System.arraycopy(v, 0, flat, i * dim, v.length)
+    }
 
-    // index build: nearest centroid per corpus vector + cell radii
-    val aWin = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("d2c", col("n_v") - lit(2.0) * vec_dot(col("v"), col("cv")) + col("n_c"))
-      .withColumn("rn", row_number().over(aWin))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("n_v"),
-        col("cent_id").as("cell"), sqrt(greatest(col("d2c"), lit(0.0))).as("dc"))
+    // step 2: ONE narrow assignment pass, persisted for all consumers
+    val nearest = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.vecexprs.VecNearest(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("v"), flat, dim))
+    val assigned = c.withColumn("nc", nearest)
+      .select(col("vec_id"), col("v"), col("n_v"), col("nc.cell").as("cell"),
+        sqrt(greatest(col("nc.d2"), lit(0.0))).as("dc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cells = assigned.groupBy("cell").agg(max(col("dc")).as("rc"))
 
-    // query-to-centroid distances (queries x C — query side is the small one)
+    // query-to-centroid distances (|q| x C, C capped): skinny rows, persisted
+    // because both probe phases read them
+    val centsDf = centVecs.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cent_id", "cv")
+      .withColumn("n_c", vec_norm2(col("cv")))
     val q = quantize(queries, "query_id", "qv").withColumn("n_q", vec_norm2(col("qv")))
-    val qc = q.crossJoin(broadcast(cents))
+    val qc = q.crossJoin(broadcast(centsDf))
       .withColumn("dqc2", col("n_q") - lit(2.0) * vec_dot(col("qv"), col("cv")) + col("n_c"))
-      .withColumn("dqc", sqrt(greatest(col("dqc2"), lit(0.0))))
-      .select("query_id", "qv", "n_q", "cent_id", "dqc")
+      .select(col("query_id"), col("cent_id"),
+        sqrt(greatest(col("dqc2"), lit(0.0))).as("dqc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val pWin = Window.partitionBy("query_id").orderBy(col("dqc"), col("cent_id"))
     val rWin = Window.partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
     def rankMembers(probes: DataFrame): DataFrame =
       probes.join(assigned, probes("cent_id") === assigned("cell"))
+        .join(broadcast(q), "query_id")
         .where(col("query_id") =!= col("vec_id"))
         .withColumn("dist2",
           col("n_q") - lit(2.0) * vec_dot(col("qv"), col("v")) + col("n_v"))
@@ -156,7 +197,7 @@ object Ann {
     // phase 1: nProbe nearest cells -> d_k upper bound (null if < k found,
     // which falls back to probing every cell — still exact, never wrong)
     val probes1 = qc.withColumn("prn", row_number().over(pWin))
-      .where(col("prn") <= nProbe).drop("prn")
+      .where(col("prn") <= nProbe).select("query_id", "cent_id")
     val dk = rankMembers(probes1).groupBy("query_id")
       .agg(count(lit(1)).as("found"), max(sqrt(col("dist2"))).as("dk0"))
       .select(col("query_id"), when(col("found") === k, col("dk0")).as("dk"))
@@ -166,7 +207,7 @@ object Ann {
     val probes2 = qc.join(cells, qc("cent_id") === cells("cell"))
       .join(dk, Seq("query_id"), "left")
       .where(col("dk").isNull || (col("dqc") - col("rc") <= col("dk") + lit(1e-6)))
-      .select("query_id", "qv", "n_q", "cent_id")
+      .select("query_id", "cent_id")
     rankMembers(probes2).select("query_id", "vec_id", "rnk", "dist2")
   }
 

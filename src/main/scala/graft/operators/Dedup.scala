@@ -148,7 +148,17 @@ object Dedup {
     * skew-join splits hot masks). The Jaccard test is
     * popcount(a&b)/popcount(a|b) — identical integers to
     * |intersect|/|union| on the raw sets, so the threshold decision is
-    * bit-identical to the naive plan. */
+    * bit-identical to the naive plan.
+    *
+    * Lifecycle: the tokenize+mask subtree is persisted (MEMORY_AND_DISK)
+    * because it feeds four joins of the returned plan, and therefore CANNOT
+    * be unpersisted before the caller consumes the result; the blocks are
+    * reclaimed by Spark's ContextCleaner once the returned DataFrame goes
+    * out of scope. A long-lived session issuing MANY dedup calls should
+    * bound peak cache usage the deterministic way: materialize the result
+    * (write / localCheckpoint(eager = true)) and then
+    * `spark.sharedState.cacheManager.clearCache()` or unpersist via
+    * `spark.catalog`, rather than relying on GC timing. */
   def jaccardPairsDict(toks: DataFrame, vocab: Array[String],
                        threshold: Double, blocks: Int = 0): DataFrame = {
     val spark = toks.sparkSession

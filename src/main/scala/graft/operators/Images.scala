@@ -177,7 +177,12 @@ object Images {
         reader.setInput(null)
         in.close()
       }
-    } catch { case _: Exception => null }
+    } catch {
+      // NonFatal: a reader exception on dirty bytes is a data problem, but
+      // an InterruptedException (task cancellation mid-decode) must
+      // propagate, not become a silent null result
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   def synthBytes(imageId: String, w: Int, h: Int, fmt: String): Array[Byte] =
@@ -359,7 +364,13 @@ object Images {
       val lonMax = r.getDouble(2); val latMax = r.getDouble(3)
       val w = r.getInt(4); val h = r.getInt(5); val z = r.getInt(6)
       val block = math.max(1, r.getInt(7))
-      val counts = scala.collection.mutable.LinkedHashMap[(Long, Long), Int]()
+      // flagship hot stage: keys are (tx << 32 | ty) packed longs in a
+      // primitive-specialized LongMap (no tuple/Long boxing per block);
+      // `order` preserves first-seen order so the emitted ARRAY is
+      // byte-identical to the previous LinkedHashMap layout (the q37/q43
+      // oracles hash the array order). tx/ty < 2^z <= 2^30, so 32 bits each.
+      val counts = new scala.collection.mutable.LongMap[Int]()
+      val order = new scala.collection.mutable.ArrayBuffer[Long]()
       var by = 0
       while (by < h) {
         val bh = math.min(block, h - by)
@@ -369,15 +380,22 @@ object Images {
         while (bx < w) {
           val bw = math.min(block, w - bx)
           val lon = lonMin + (bx + bw / 2.0) / w * (lonMax - lonMin)
-          val key = (TileMath.tileX(lon, z), TileMath.tileY(lat, z))
-          counts(key) = counts.getOrElse(key, 0) + bw * bh
+          val key = (TileMath.tileX(lon, z) << 32) | TileMath.tileY(lat, z)
+          val cur = counts.getOrElse(key, 0) // px counts are >= 1, so 0 = absent
+          if (cur == 0) order += key
+          counts(key) = cur + bw * bh
           bx += block
         }
         by += block
       }
-      new GenericArrayData(counts.iterator.map { case ((tx, ty), n) =>
-        InternalRow(tx, ty, n)
-      }.toArray[Any])
+      val out = new Array[Any](order.length)
+      var i = 0
+      while (i < order.length) {
+        val key = order(i)
+        out(i) = InternalRow(key >>> 32, key & 0xffffffffL, counts(key))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): ImageTileBlocks = copy(child = c)
     override def prettyName: String = "image_tile_blocks"

@@ -22,8 +22,10 @@ import org.apache.spark.storage.StorageLevel
   * shape so the DuckDB oracle reproduces the exact doubles; ties break on
   * point_id — fully deterministic output.
   *
-  * Scale shape: the celled corpus is persisted ONCE before the loop (at
-  * 100 TB: write it bucketed by cell instead) — every round joins the
+  * Scale shape: the celled corpus is persisted ONCE before the loop — or,
+  * at 100 TB, written once as a cell-co-located table
+  * ([[writeCelledCorpus]]) that [[knnCelled]] reads per query batch with
+  * no re-celling or re-persisting — every round joins the
   * broadcast exploded query-disk against the same materialized blocks, no
   * per-round rescan of the raw table. Pending queries shrink geometrically
   * (tracked by one count per round on the new pending set — the same
@@ -54,6 +56,35 @@ object Knn {
     * no checkpoint-dir I/O). */
   def knn(queries: DataFrame, points: DataFrame, k: Int, level: Int = 8,
           reliableCheckpoint: Boolean = false): DataFrame = {
+    // celled corpus: materialized once (memory/disk cache), reused by every
+    // round; released on exit — the returned result is checkpoint-truncated
+    // and self-contained
+    val pts = points.withColumn("cell", st_cellid(col("lon"), col("lat"), level))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try knnCelled(queries, pts, k, level, reliableCheckpoint)
+    finally pts.unpersist(false)
+  }
+
+  /** Write the celled corpus ONCE as a cell-co-located parquet table — the
+    * 100 TB shape for repeated query batches: [[knnCelled]] over this table
+    * reads the materialized cells instead of re-celling and re-persisting
+    * the raw corpus per call. Rows are repartitioned by cell and sorted
+    * within files, so row-group min/max stats prune corpus scans. On a
+    * cluster with a catalog, use `bucketBy(nBuckets, "cell").sortBy("cell")
+    * .saveAsTable` for the same layout plus shuffle-free cell equijoins. */
+  def writeCelledCorpus(points: DataFrame, path: String, level: Int): Unit =
+    points.withColumn("cell", st_cellid(col("lon"), col("lat"), level))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(path)
+
+  /** kNN over an ALREADY-celled corpus: `celledPts` must carry a `cell`
+    * column computed at the SAME `level` (e.g. the table written by
+    * [[writeCelledCorpus]], read back with `spark.read.parquet`). No cache
+    * is taken here — the caller owns the corpus materialization (a
+    * parquet-backed corpus IS the materialization). */
+  def knnCelled(queries: DataFrame, celledPts: DataFrame, k: Int, level: Int = 8,
+                reliableCheckpoint: Boolean = false): DataFrame = {
     if (reliableCheckpoint)
       require(queries.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "knn(reliableCheckpoint = true) needs sc.setCheckpointDir(...)")
@@ -62,10 +93,8 @@ object Knn {
     val cellH = 180.0 / (1L << level).toDouble
     val maxR = (1L << level).toInt
 
-    // celled corpus: materialized once, reused by every round
-    val pts = points.withColumn("cell", st_cellid(col("lon"), col("lat"), level))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nPts = pts.count() // one pass: materializes the cache AND sizes r0
+    val pts = celledPts
+    val nPts = pts.count() // one pass: sizes r0 (and fills any caller cache)
 
     // adaptive start radius: size disk(r0) so it expects ~4k points under a
     // uniform-density estimate — most queries then retire in round one and
@@ -121,23 +150,21 @@ object Knn {
 
     // any stragglers (fewer than k points in the whole grid): brute force
     if (nPending > 0) {
-      finishedParts += broadcast(pending).crossJoin(points)
+      finishedParts += broadcast(pending).crossJoin(pts)
         .withColumn("dist", expr(distExpr))
         .withColumn("rnk", row_number().over(win))
         .where(col("rnk") <= k)
         .select("query_id", "point_id", "rnk")
     }
     if (finishedParts.isEmpty) { // no queries at all
-      pts.unpersist(false)
       pending.unpersist(false)
-      return knnBrute(queries, points, k)
+      return knnBrute(queries, pts, k)
     }
     // one final materialization; eager localCheckpoint makes the result
     // self-contained (queries x k rows — tiny) so every per-round cache can
     // be released immediately after
     val results = truncate(finishedParts.reduce(_ unionByName _))
     roundCaches.foreach(_.unpersist(false))
-    pts.unpersist(false)
     pending.unpersist(false)
     results
   }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   *  - video: `GVID | int32 nFrames | (int32 len | png bytes)*` — frames are
   *    REAL encoded images whose content varies per frame index, so sampled
   *    frames decode and fingerprint like genuine keyframes.
-  *  - audio: `GAUD | int32 nSamples | int16-LE pcm*` — a seeded sine at
-  *    amplitude 0.8; stats (peak / mean / zero crossings) are exact
-  *    integers.
+  *  - audio: canonical RIFF/WAVE (PCM16 mono, 16 kHz) — a REAL in-the-wild
+  *    container assembled from the spec with stdlib only; content is a
+  *    seeded sine at amplitude 0.8, so stats (peak / zero crossings) are
+  *    exact integers.
   *
   * All narrow per-row expressions: bytes never shuffle, no driver loops —
   * the same 100 TB shape as the image decode stage.
@@ -57,6 +58,9 @@ object Media {
   }
 
   def resizeBytes(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    // non-positive target dims follow the same null-on-bad-input contract
+    // as the sibling media ops (not a task-killing BufferedImage throw)
+    if (tw <= 0 || th <= 0) return null
     val d = Images.decodeToPixels(bytes)
     if (d == null) return null
     val px = resizeNN(d.pixels, d.w, d.h, tw, th)
@@ -162,11 +166,41 @@ object Media {
   // ---------- audio ----------
 
   val AudioAmp: Int = 26214 // 0.8 * 32767, rounded down
+  val AudioRate: Int = 16000 // Hz, mono PCM16
 
+  private def putI32le(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def putI16le(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+  }
+  @inline private def i32le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  @inline private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Canonical RIFF/WAVE container (PCM16 mono, 16 kHz) — a real in-the-wild
+    * format assembled from the spec with stdlib only: RIFF header, 16-byte
+    * `fmt ` chunk (PCM, 1 channel, 16-bit), `data` chunk of int16-LE
+    * samples. Content: a seeded sine at amplitude 0.8 with 100 samples per
+    * period, so peak / zero-crossing stats are exact-by-construction (q49). */
   def audioBytes(id: String, nSamples: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(8 + nSamples * 2)
-    out.write('G'); out.write('A'); out.write('U'); out.write('D')
-    putI32be(out, nSamples)
+    val dataLen = nSamples * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    putI32le(out, 36 + dataLen) // riff payload: 4 (WAVE) + 24 (fmt) + 8 + data
+    out.write('W'); out.write('A'); out.write('V'); out.write('E')
+    out.write('f'); out.write('m'); out.write('t'); out.write(' ')
+    putI32le(out, 16) // PCM fmt chunk body size
+    putI16le(out, 1) // audio format: PCM
+    putI16le(out, 1) // channels: mono
+    putI32le(out, AudioRate)
+    putI32le(out, AudioRate * 2) // byte rate = rate * blockAlign
+    putI16le(out, 2) // block align = channels * bytesPerSample
+    putI16le(out, 16) // bits per sample
+    out.write('d'); out.write('a'); out.write('t'); out.write('a')
+    putI32le(out, dataLen)
     val phase = (graft.functions.textexprs.mix64(id.hashCode.toLong) & 0xff) / 255.0 * 2.0 * math.Pi
     var i = 0
     while (i < nSamples) {
@@ -179,10 +213,11 @@ object Media {
     out.toByteArray
   }
 
-  private def isAudio(b: Array[Byte]): Boolean =
-    b.length >= 8 && b(0) == 'G' && b(1) == 'A' && b(2) == 'U' && b(3) == 'D'
+  private def isRiffWave(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  /** audio_synth(struct(image_id, n_samples)) -> PCM container bytes. */
+  /** audio_synth(struct(image_id, n_samples)) -> RIFF/WAVE PCM16 bytes. */
   case class AudioSynth(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -195,7 +230,11 @@ object Media {
   }
 
   /** audio_stats(bytes) -> struct(n_samples, peak, zero_cross) — exact
-    * integer sample statistics (null for a non-audio payload). */
+    * integer sample statistics from a RIFF/WAVE PCM16-mono payload. A real
+    * chunk WALK (not fixed offsets): `fmt ` is validated (PCM, mono,
+    * 16-bit), unknown chunks are skipped with word alignment, and any
+    * malformed, truncated, or unsupported-codec container nulls instead of
+    * crashing the task — the same contract as the image/video decoders. */
   case class AudioStats(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StructType(Seq(
@@ -205,17 +244,35 @@ object Media {
     override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[Array[Byte]]
-      if (!isAudio(b)) return null
-      val n = i32be(b, 4)
-      // long arithmetic: a hostile header n would overflow `8 + n * 2` int
-      // math past the bounds check and crash the task instead of nulling
-      if (n < 0 || 8L + n.toLong * 2L > b.length.toLong) return null
+      if (!isRiffWave(b)) return null
+      // chunk walk: find a PCM16-mono `fmt ` and the `data` chunk
+      var pos = 12
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+        val size = i32le(b, pos + 4)
+        if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong) return null
+        if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' ') {
+          if (size < 16) return null
+          fmtOk = u16le(b, pos + 8) == 1 && // PCM
+            u16le(b, pos + 10) == 1 && // mono
+            u16le(b, pos + 22) == 16 // 16-bit
+          if (!fmtOk) return null // a real but unsupported codec: null
+        } else if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a') {
+          dataOff = pos + 8
+          dataLen = size
+        }
+        pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      if (!fmtOk || dataOff < 0) return null
+      val n = dataLen / 2
       var peak = 0
       var zc = 0
       var prev = 0
       var i = 0
       while (i < n) {
-        val v = ((b(8 + i * 2) & 0xff) | (b(9 + i * 2) << 8)).toShort.toInt
+        val v = ((b(dataOff + i * 2) & 0xff) | (b(dataOff + i * 2 + 1) << 8)).toShort.toInt
         val a = math.abs(v)
         if (a > peak) peak = a
         if (i > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1

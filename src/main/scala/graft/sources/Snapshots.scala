@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   *     _meta/partitions/...parquet      -- snapshot_id, part_id, row_count, lineage_hash
   *     _meta/CURRENT                    -- atomically-renamed pointer file
   *
-  * Commit protocol: data + metadata parquet are written first, then the
-  * CURRENT pointer is moved with an atomic rename — a crashed run leaves the
-  * previous snapshot intact. Resume = read CURRENT, skip partitions already
-  * recorded for that snapshot (north_rule: "resumable from checkpoint with
-  * per-partition lineage + metrics").
+  * Commit protocol: data + partition lineage are written first, then the
+  * one-row manifest is PUBLISHED with an atomic no-replace rename (see
+  * [[ensureManifest]] — exactly one winner under concurrent committers),
+  * then the CURRENT pointer is moved with an atomic rename — a crashed run
+  * leaves the previous snapshot intact. Resume = read CURRENT, skip
+  * partitions already recorded for that snapshot (north_rule: "resumable
+  * from checkpoint with per-partition lineage + metrics"). Concurrent DATA
+  * writes to one snapshot stay single-writer (documented in
+  * [[ensureManifest]]); the metadata commit itself is race-safe.
   */
 object Snapshots {
 
@@ -134,18 +138,58 @@ object Snapshots {
     committed ++ metas
   }
 
-  /** Append the snapshot's manifest row if absent (idempotent — a
-    * crashed-then-resumed run must not duplicate it: the manifest stays one
-    * row per snapshot). */
-  private def ensureManifest(spark: SparkSession, table: String, snapshotId: Long,
-                             operation: String, nParts: Int): Unit = {
+  /** Publish the snapshot's manifest row exactly once — the COMMIT point of
+    * the protocol, made safe for CONCURRENT committers of the same snapshot
+    * (the Iceberg semantics being emulated are precisely about this):
+    *
+    *   1. the one-row manifest is written as a parquet file in a hidden
+    *      temp dir (underscore/dot-prefixed paths are invisible to parquet
+    *      readers), then
+    *   2. published into `_meta/snapshots/manifest-<sid>.parquet` with an
+    *      atomic NO-replace rename. Two racing committers both reach the
+    *      move; the filesystem picks exactly one winner and the loser's
+    *      FileAlreadyExistsException is swallowed — the manifest can never
+    *      hold two rows for one snapshot, and readers never observe a
+    *      half-written file.
+    *
+    * A crash between steps leaves only invisible temp garbage; the next
+    * (sequential) resume re-runs both steps. Concurrent DATA writes for the
+    * same snapshot remain single-writer-per-snapshot territory — two
+    * writers racing the same `data/part_id=N` directories is undefined, as
+    * it is for any filesystem table format without a catalog lock; the
+    * crash-then-RESUME path (sequential) is fully safe and q42-proven. */
+  private[graft] def ensureManifest(spark: SparkSession, table: String, snapshotId: Long,
+                                      operation: String, nParts: Int): Unit = {
     import spark.implicits._
-    val manifestExists = Files.exists(Paths.get(s"${metaDir(table)}/snapshots")) &&
-      !readSnapshots(spark, table).where(col("snapshot_id") === snapshotId).isEmpty
-    if (!manifestExists) {
-      Seq((snapshotId, java.time.Instant.now.toString, operation, nParts))
-        .toDF("snapshot_id", "ts", "operation", "n_partitions")
-        .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/snapshots")
+    val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
+    val target = snapDir.resolve(s"manifest-$snapshotId.parquet")
+    if (Files.exists(target)) return
+    // legacy tables (pre-CAS layout) appended part-*.parquet rows: honor
+    // them so a resume on an old table does not duplicate the manifest row
+    val hasLegacyParts = Files.exists(snapDir) && {
+      val s = Files.list(snapDir)
+      try s.anyMatch(p => !p.getFileName.toString.startsWith("manifest-"))
+      finally s.close()
+    }
+    if (hasLegacyParts &&
+        !readSnapshots(spark, table).where(col("snapshot_id") === snapshotId).isEmpty) return
+
+    val tmpDir = Paths.get(metaDir(table), s".tmp-manifest-$snapshotId-${java.util.UUID.randomUUID}")
+    Seq((snapshotId, java.time.Instant.now.toString, operation, nParts))
+      .toDF("snapshot_id", "ts", "operation", "n_partitions")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    val partFile = {
+      val s = Files.list(tmpDir)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    Files.createDirectories(snapDir)
+    try Files.move(partFile, target) // atomic, NO replace: one deterministic winner
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally {
+      val s = Files.list(tmpDir)
+      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+      Files.deleteIfExists(tmpDir)
     }
   }
 

@@ -126,6 +126,10 @@ class FunctionsSpec extends SparkTestBase {
     intercept[Exception] {
       Seq("SQUARE (1 2)").toDF("wkt").select(st_wktview($"wkt", 5)).collect()
     }
+    // EMPTY geometry has no view center: st_centroid's null contract, not
+    // a task-killing throw
+    val empty = Seq("POINT EMPTY").toDF("wkt").select(st_wktview($"wkt", 5)).collect()
+    assert(empty(0).isNullAt(0), "wktview(EMPTY) must be null")
   }
 
   test("doc_fingerprint is the portable md5-min over k-char windows") {

@@ -5,6 +5,8 @@ import graft.operators.Images
 import graft.sources.Snapshots
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Image payload invariants (BASELINE.json input_hint): decoded-pixel exact
   * for lossless fmt, PSNR >= 40 dB for JPEG, caption equality through the
   * pipeline; plus pixel-block tile assignment and snapshot/lineage resume. */
@@ -169,5 +171,65 @@ class ImagesSpec extends SparkTestBase {
     assert(Snapshots.readData(spark, s"$dir/t").count() == 900)
     assert(Snapshots.readSnapshots(spark, s"$dir/t")
       .where(col("snapshot_id") === 1).count() == 1)
+  }
+
+  test("concurrent committers: manifest publish has exactly one winner") {
+    // the commit point is an atomic no-replace rename of a one-row parquet
+    // file: two racing committers (and two racing writeSnapshot calls over
+    // a fully-committed partition set) must leave exactly ONE manifest row
+    // and a CURRENT pointer — never two rows, never a half-written file
+    val dir = java.nio.file.Files.createTempDirectory("snap-race").toString
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    // seed partitions WITHOUT a manifest (micro-batch stop before the last)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/t/_meta"))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val futs = (1 to 2).map { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          Snapshots.ensureManifest(spark, s"$dir/t", 7L, "append", 4)
+        }
+      })
+    }
+    gate.countDown()
+    futs.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(Snapshots.readSnapshots(spark, s"$dir/t")
+      .where(col("snapshot_id") === 7).count() == 1, "exactly one manifest row")
+    val files = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t/_meta/snapshots"))
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(files == List("manifest-7.parquet"), s"one published file, got $files")
+    // no temp litter left behind in _meta
+    val metaFiles = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t/_meta"))
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    assert(!metaFiles.exists(_.startsWith(".tmp-manifest")), s"temp cleaned, got $metaFiles")
+
+    // two interleaved writeSnapshot calls over the same fully-committed
+    // table race only in the (idempotent, CAS'd) commit step
+    val t2 = s"$dir/t2"
+    Snapshots.writeSnapshot(spark, df, t2, snapshotId = 1L, nParts = 4, keyCol = "k")
+    val gate2 = new CountDownLatch(1)
+    val pool2 = Executors.newFixedThreadPool(2)
+    val futs2 = (1 to 2).map { _ =>
+      pool2.submit(new Runnable {
+        override def run(): Unit = {
+          gate2.await()
+          Snapshots.writeSnapshot(spark, df, t2, snapshotId = 1L, nParts = 4, keyCol = "k")
+        }
+      })
+    }
+    gate2.countDown()
+    futs2.foreach(_.get(120, TimeUnit.SECONDS))
+    pool2.shutdown()
+    assert(Snapshots.currentSnapshot(t2).contains(1L))
+    assert(Snapshots.readSnapshots(spark, t2).where(col("snapshot_id") === 1).count() == 1)
+    assert(Snapshots.readData(spark, t2).count() == 200)
   }
 }

@@ -49,28 +49,45 @@ class MediaSpec extends SparkTestBase {
   test("malformed containers null out instead of crashing the task") {
     def be(v: Int) = Array[Byte](((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le(v: Int) = be(v).reverse
     val gvid = "GVID".getBytes
-    val gaud = "GAUD".getBytes
+    val wav = Media.audioBytes("img-bad", 100)
+    val stereo = wav.clone(); stereo(22) = 2 // fmt channels = 2
+    val mulaw = wav.clone(); mulaw(20) = 7 // fmt audioFormat = 7 (mu-law)
     val rows = Seq(
-      gvid ++ be(1) ++ be(-1),          // negative frame length
-      gvid ++ be(2) ++ be(9999),        // truncated frame
-      gaud ++ be(0x40000000),           // n*2 overflows int bounds check
-      gaud ++ be(-5)                    // negative sample count
+      gvid ++ be(1) ++ be(-1), // negative frame length
+      gvid ++ be(2) ++ be(9999), // truncated frame
+      "RIFF".getBytes ++ le(36) ++ "WAVE".getBytes ++
+        "data".getBytes ++ le(0x40000000), // data chunk size past the buffer
+      wav.take(30), // truncated mid-fmt
+      stereo, // real-but-unsupported: not mono
+      mulaw // real-but-unsupported: not PCM
     ).map(Tuple1(_)).toDF("b")
     val r = rows.select(video_frame_sample($"b", 2).as("f"), audio_stats($"b").as("s"))
       .collect()
     assert(r(0).isNullAt(0) && r(1).isNullAt(0), "corrupt video -> null")
-    assert(r(2).isNullAt(1) && r(3).isNullAt(1), "corrupt audio -> null")
+    (2 to 5).foreach(i => assert(r(i).isNullAt(1), s"corrupt/unsupported audio row $i -> null"))
   }
 
-  test("audio container: exact integer sample stats") {
+  test("audio container: canonical RIFF/WAVE header + exact integer sample stats") {
+    val wav = Media.audioBytes("img-a1", 1000)
+    // spec-true header: RIFF size, WAVE, PCM16 mono fmt chunk, data size
+    assert(new String(wav.slice(0, 4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
+    assert(new String(wav.slice(12, 16)) == "fmt " && new String(wav.slice(36, 40)) == "data")
+    assert(wav.length == 44 + 2000)
+    // an extra LIST chunk before data must be skipped by the chunk walk
+    val withList = wav.slice(0, 36) ++ "LIST".getBytes ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes ++ wav.drop(36)
     val df = Seq(("img-a1", 1000)).toDF("id", "n")
     val st = df.select(audio_stats(audio_synth(struct($"id", $"n"))))
       .collect()(0).getStruct(0)
-    assert(st.getInt(0) == 1000)
+    val st2 = Seq(Tuple1(withList)).toDF("b").select(audio_stats($"b"))
+      .collect()(0).getStruct(0)
+    assert(st.getInt(0) == 1000 && st2.getInt(0) == 1000)
     assert(st.getInt(1) >= 26000 && st.getInt(1) <= 26214,
       s"peak ${st.getInt(1)} outside the sampled-sine envelope")
     assert(st.getInt(2) >= 19 && st.getInt(2) <= 21,
       s"zero crossings ${st.getInt(2)} != ~2 per period over 10 periods")
+    assert(st2.getInt(1) == st.getInt(1) && st2.getInt(2) == st.getInt(2))
   }
 }

@@ -78,6 +78,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("kNN over the bucketed celled-corpus table matches the inline path") {
+    // 100 TB shape: cell the corpus ONCE into a cell-co-located parquet
+    // table; knnCelled reads it back with no re-cell / no re-persist and
+    // must produce the identical result set
+    val pts = randomPoints(2500).toDF("point_id", "lon", "lat")
+    val qs = (0 until 15).map(i => (i.toLong, (i * 41 % 340) - 170.0 + 0.2, (i * 59 % 160) - 80.0 + 0.5))
+      .toDF("query_id", "qlon", "qlat")
+    val dir = java.nio.file.Files.createTempDirectory("knn-bucketed").toString
+    Knn.writeCelledCorpus(pts, s"$dir/celled", level = 6)
+    val bucketed = Knn.knnCelled(qs, spark.read.parquet(s"$dir/celled"), k = 7, level = 6)
+      .select("query_id", "point_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val inline = Knn.knn(qs, pts, k = 7, level = 6)
+      .select("query_id", "point_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(bucketed == inline && bucketed.nonEmpty)
+  }
+
   test("kNN with k larger than point count falls back to brute force") {
     val pts = randomPoints(5).toDF("point_id", "lon", "lat")
     val qs = Seq((0L, 0.0, 0.0)).toDF("query_id", "qlon", "qlat")
@@ -169,24 +185,29 @@ class OperatorsSpec extends SparkTestBase {
     val queries = vecs.where($"vec_id" % 30 === 0)
     val brute = Ann.bruteTopK(vecs, queries, k = 7)
       .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
-    val ivf = Ann.ivfTopK(vecs, queries, k = 7, centroidEvery = 25, nProbe = 2)
+    val ivf = Ann.ivfTopK(vecs, queries, k = 7, maxCentroids = 12, nProbe = 2)
       .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(ivf == brute, "triangle-inequality pruning must not lose a true neighbor")
     // degenerate regime: k near corpus size forces the d_k-null fallback
     val tiny = vecs.where($"vec_id" < 6)
     val b2 = Ann.bruteTopK(tiny, tiny, k = 5)
       .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
-    val i2 = Ann.ivfTopK(tiny, tiny, k = 5, centroidEvery = 3, nProbe = 1)
+    val i2 = Ann.ivfTopK(tiny, tiny, k = 5, maxCentroids = 3, nProbe = 1)
       .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(i2 == b2)
-    // empty centroid sample (no vec_id divisible by centroidEvery): must
-    // fall back to brute force, not silently return zero rows
+    // skewed id distribution (odd ids only): the hash sample is still
+    // well-defined and the result stays exact
     val odd = vecs.where($"vec_id" % 2 === 1)
-    val i3 = Ann.ivfTopK(odd, odd.limit(3), k = 3, centroidEvery = 2, nProbe = 1)
+    val i3 = Ann.ivfTopK(odd, odd.limit(3), k = 3, maxCentroids = 2, nProbe = 1)
       .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
     val b3 = Ann.bruteTopK(odd, odd.limit(3), k = 3)
       .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(i3 == b3 && i3.nonEmpty)
+    // empty corpus: no crash, zero rows (brute fallback)
+    assert(Ann.ivfTopK(vecs.where($"vec_id" < 0), vecs.limit(2), k = 3).count() == 0)
+    // the cap is corpus-size-independent: C(n) is monotone then flat
+    assert(Ann.centroidCap(100) == 40 && Ann.centroidCap(1L << 40) == 4096 &&
+      Ann.centroidCap(1) == 16)
   }
 
   test("blocked theta-joins: output invariant across block counts (incl. auto)") {

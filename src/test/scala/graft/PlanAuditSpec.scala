@@ -64,18 +64,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "no nested-loop broadcast join")
   }
 
-  test("IVF ANN: centroids broadcast, corpus never broadcast whole, hash-join probes") {
+  test("IVF ANN: narrow capped-centroid assignment, persisted + reused, corpus never broadcast") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    val p = plan(Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10,
-      centroidEvery = 50, nProbe = 3))
+    val df = Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10, nProbe = 3)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct"), "no cartesian product")
-    // the ONLY nested-loop joins are the corpus/query x broadcast(centroids)
-    // assignment passes (the d_k subtree recomputes the lazy assignment, so
-    // they appear up to 5 times in one plan; at scale the index would be a
-    // persisted table and appear once)
-    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnl >= 1 && bnl <= 6, s"only the centroid-assignment crossJoins, got $bnl")
+    assert(p.contains("vec_nearest"), "assignment must be the narrow vec_nearest kernel")
     assert(p.contains("vec_dot"), "codegen'd dot kernel for the exact re-rank")
+    // the assignment and the query-centroid distances are persisted: every
+    // consumer reads the cache instead of re-running the subtree
+    assert(p.contains("InMemoryTableScan"), "persisted index must be reused via cache scans")
+    // the ONLY nested-loop join is the small query side x the CAPPED
+    // centroid frame (its subtree prints once per cache reference); the
+    // corpus-side plan has no join at all before the cell equijoin
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 4, s"only the query x capped-centroids crossJoin, got $bnl")
   }
 
   test("tile counts: single shuffle with partial aggregation") {
