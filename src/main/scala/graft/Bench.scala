@@ -97,6 +97,13 @@ object Bench {
       samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
     var pipelineRpsSamples = Vector.empty[Double]
     for (_ <- 1 to runs) {
+      // clean cache slate per pass: queries that persist intermediates
+      // (ANN index, dedup masks, kNN cells) would otherwise stay resident
+      // across passes and tax every later measurement with their GC
+      // footprint — measured: pipeline 3.5 s on a fresh JVM vs 6.4 s as
+      // pass 2 behind ~45 queries' accumulated caches. Each query is
+      // charged its own materialization cost, every pass.
+      spark.catalog.clearCache()
       if (wanted("pipeline")) {
         if (pipelineReady) try {
           rm(new java.io.File(s"$work/tile_stats"))

@@ -137,18 +137,32 @@ object Ann {
     * distances) back the RETURNED plan, so they cannot be unpersisted here;
     * they are freed by Spark's ContextCleaner when the result goes out of
     * scope. A service issuing many query batches over one corpus should
-    * build the index once and reuse it — write `assigned` as a
-    * cell-bucketed table (the [[Knn.writeCelledCorpus]] pattern) instead of
-    * re-deriving it per call. */
+    * build the index ONCE with [[writeIvfIndex]] and answer batches with
+    * [[ivfTopKIndexed]] — no per-call count/sample/assignment work and no
+    * in-memory cache to manage. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               maxCentroids: Int = 4096, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    buildIvfAssigned(corpus, maxCentroids) match {
+      case None => bruteTopK(corpus, queries, k) // empty corpus
+      case Some((assigned, centVecs)) =>
+        val cells = assigned.groupBy("cell").agg(max(col("dc")).as("rc"))
+        val centsDf = centVecs.zipWithIndex
+          .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cent_id", "cv")
+        ivfSearch(queries, assigned, cells, centsDf, k, nProbe)
+    }
+  }
+
+  /** Shared index build: quantize + capped deterministic centroid sample
+    * (count() + one distributed top-C are the only extra actions) + ONE
+    * narrow [[graft.functions.vecexprs.VecNearest]] assignment pass,
+    * persisted MEMORY_AND_DISK for its consumers. None on an empty corpus. */
+  private def buildIvfAssigned(corpus: DataFrame, maxCentroids: Int)
+      : Option[(DataFrame, Array[Array[Double]])] = {
     val c = quantize(corpus, "vec_id", "v").withColumn("n_v", vec_norm2(col("v")))
-    // index build, step 1: the capped deterministic sample. count() + a
-    // distributed top-C are the two (cheap, 2-column) index-build actions.
     val n = c.count()
-    if (n == 0) return bruteTopK(corpus, queries, k)
+    if (n == 0) return None
     val cCap = centroidCap(n, math.max(1, maxCentroids))
     val centVecs: Array[Array[Double]] = c
       .select(col("vec_id"), col("v"))
@@ -160,8 +174,6 @@ object Ann {
     centVecs.zipWithIndex.foreach { case (v, i) =>
       System.arraycopy(v, 0, flat, i * dim, v.length)
     }
-
-    // step 2: ONE narrow assignment pass, persisted for all consumers
     val nearest = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.vecexprs.VecNearest(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("v"), flat, dim))
@@ -169,15 +181,69 @@ object Ann {
       .select(col("vec_id"), col("v"), col("n_v"), col("nc.cell").as("cell"),
         sqrt(greatest(col("nc.d2"), lit(0.0))).as("dc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cells = assigned.groupBy("cell").agg(max(col("dc")).as("rc"))
+    Some((assigned, centVecs))
+  }
 
+  /** Build the IVF index ONCE to `path` — the repeated-query-batch shape
+    * ([[Knn.writeCelledCorpus]]'s pattern for embeddings): three parquet
+    * tables (`centroids` — the capped sample; `assigned` — the corpus with
+    * its cell id and centroid distance, co-located by cell; `cells` — per
+    * cell radii). [[ivfTopKIndexed]] then answers any number of query
+    * batches against the files with no per-call count/sample/assignment
+    * work and no in-memory cache to manage. */
+  def writeIvfIndex(corpus: DataFrame, path: String, maxCentroids: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildIvfAssigned(corpus, maxCentroids) match {
+      case None => // empty corpus: an empty-but-readable index
+        Seq.empty[(Int, Seq[Double])].toDF("cent_id", "cv")
+          .write.mode("overwrite").parquet(s"$path/centroids")
+        Seq.empty[(Long, Seq[Double], Double, Int, Double)]
+          .toDF("vec_id", "v", "n_v", "cell", "dc")
+          .write.mode("overwrite").parquet(s"$path/assigned")
+        Seq.empty[(Int, Double)].toDF("cell", "rc")
+          .write.mode("overwrite").parquet(s"$path/cells")
+      case Some((assigned, centVecs)) =>
+        // co-locate cells so probe equijoins read whole row groups per cell
+        assigned.repartition(col("cell")).sortWithinPartitions("cell")
+          .write.mode("overwrite").parquet(s"$path/assigned")
+        assigned.groupBy("cell").agg(max(col("dc")).as("rc"))
+          .write.mode("overwrite").parquet(s"$path/cells")
+        assigned.unpersist(false)
+        centVecs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("cent_id", "cv").write.mode("overwrite").parquet(s"$path/centroids")
+    }
+  }
+
+  /** EXACT top-k against a prebuilt [[writeIvfIndex]] index — identical
+    * output to [[ivfTopK]]/[[bruteTopK]], but the per-call cost is search
+    * only (the parquet index IS the materialization; nothing is persisted
+    * here). */
+  def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+                     nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val assigned = spark.read.parquet(s"$indexPath/assigned")
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val centsDf = spark.read.parquet(s"$indexPath/centroids")
+    if (centsDf.isEmpty) { // empty index (empty corpus): zero neighbors
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "vec_id", "rnk", "dist2")
+    }
+    ivfSearch(queries, assigned, cells, centsDf, k, nProbe)
+  }
+
+  /** The two-phase triangle-inequality search shared by [[ivfTopK]] and
+    * [[ivfTopKIndexed]]. `assigned(vec_id, v, n_v, cell, dc)` must be a
+    * PARTITION of the corpus; `cells(cell, rc)` its radii; `centsDf
+    * (cent_id, cv)` the centroid vectors (capped, hence broadcastable). */
+  private def ivfSearch(queries: DataFrame, assigned: DataFrame, cells: DataFrame,
+                        centsDf: DataFrame, k: Int, nProbe: Int): DataFrame = {
     // query-to-centroid distances (|q| x C, C capped): skinny rows, persisted
     // because both probe phases read them
-    val centsDf = centVecs.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cent_id", "cv")
-      .withColumn("n_c", vec_norm2(col("cv")))
+    val cents = centsDf.withColumn("n_c", vec_norm2(col("cv")))
     val q = quantize(queries, "query_id", "qv").withColumn("n_q", vec_norm2(col("qv")))
-    val qc = q.crossJoin(broadcast(centsDf))
+    val qc = q.crossJoin(broadcast(cents))
       .withColumn("dqc2", col("n_q") - lit(2.0) * vec_dot(col("qv"), col("cv")) + col("n_c"))
       .select(col("query_id"), col("cent_id"),
         sqrt(greatest(col("dqc2"), lit(0.0))).as("dqc"))

@@ -210,6 +210,30 @@ class OperatorsSpec extends SparkTestBase {
       Ann.centroidCap(1) == 16)
   }
 
+  test("IVF over a prebuilt on-disk index matches brute force") {
+    // repeated-query-batch shape: build the index ONCE to parquet, then
+    // answer batches against the files — identical output to ivfTopK/brute
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.2f - 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Ann.writeIvfIndex(vecs, s"$dir/idx", maxCentroids = 16)
+    for (qmod <- Seq(40, 60)) { // two query batches over the SAME index
+      val queries = vecs.where($"vec_id" % qmod === 0)
+      val got = Ann.ivfTopKIndexed(queries, s"$dir/idx", k = 6, nProbe = 2)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+      val brute = Ann.bruteTopK(vecs, queries, k = 6)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+      assert(got == brute && got.nonEmpty, s"indexed IVF must be exact (qmod=$qmod)")
+    }
+    // empty corpus -> empty-but-readable index -> zero neighbors, no crash
+    Ann.writeIvfIndex(vecs.where($"vec_id" < 0), s"$dir/empty")
+    assert(Ann.ivfTopKIndexed(vecs.limit(2), s"$dir/empty", k = 3).count() == 0)
+  }
+
   test("blocked theta-joins: output invariant across block counts (incl. auto)") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(40)(Array.fill(16)(rnd.nextFloat() + 0.1f))
