@@ -61,14 +61,13 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
         new java.io.File(warmDir).isDirectory) {
       sorted.foreach { case (name, fn) =>
+        // NonFatal only: an OOM/LinkageError here leaves a corrupted JVM —
+        // measurements from it would be silently garbage, so let it kill
+        // the run instead
         try force(fn(spark, warmDir))
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
       }
-    }
-
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
     }
 
     // flagship pipeline: prepare once + ONE unmeasured warmup run before
@@ -82,11 +81,11 @@ object Bench {
       // prepared table (a crashed prepare leaves the bare images dir)
       if (!new java.io.File(s"$work/images_count.txt").exists())
         Pipeline.prepare(spark, sfDir, work)
-      rm(new java.io.File(s"$work/tile_stats"))
+      FsUtil.rmTree(s"$work/tile_stats")
       Pipeline.run(spark, work) // warmup, unrecorded
       pipelineReady = true
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] pipeline prepare/warmup failed: ${e.getMessage}")
     }
 
@@ -106,14 +105,14 @@ object Bench {
       spark.catalog.clearCache()
       if (wanted("pipeline")) {
         if (pipelineReady) try {
-          rm(new java.io.File(s"$work/tile_stats"))
+          FsUtil.rmTree(s"$work/tile_stats")
           val t0 = System.nanoTime()
           val (_, n) = Pipeline.run(spark, work)
           val sec = (System.nanoTime() - t0) / 1e9
           record("pipeline", sec)
           pipelineRpsSamples :+= n / sec
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
             record("pipeline", -1.0)
         } else record("pipeline", -1.0)
@@ -124,7 +123,7 @@ object Bench {
           force(fn(spark, sfDir))
           record(name, (System.nanoTime() - t0) / 1e9)
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             record(name, -1.0)
         }

@@ -31,17 +31,13 @@ object ScaleBench {
     s
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
-  }
-
   /** One warmup + two measured runs at `cores` in one session;
     * returns best (seconds, images/sec). */
   private def timed(cores: Int, work: String): (Double, Double) = {
     val spark = session(cores)
     try {
       def once(): (Double, Double) = {
-        rm(new java.io.File(s"$work/tile_stats"))
+        FsUtil.rmTree(s"$work/tile_stats")
         val t0 = System.nanoTime()
         val (_, n) = Pipeline.run(spark, work)
         val sec = (System.nanoTime() - t0) / 1e9

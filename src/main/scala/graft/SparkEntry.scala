@@ -431,10 +431,7 @@ object SparkEntry {
       // partitioning makes that recomputable.
       reg(s)
       val work = "/tmp/graft-q42-" + dir.replaceAll("[^0-9a-zA-Z.]", "")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(work)) // clean slate: the query is self-contained
+      FsUtil.rmTree(work) // clean slate: the query is self-contained
       val df = t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
       Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,
         keyCol = "event_id", operation = "init", portableParts = true,

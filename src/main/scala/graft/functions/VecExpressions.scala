@@ -181,16 +181,27 @@ object vecexprs {
       StructField("d2", DoubleType, nullable = false)))
     override protected def nullSafeEval(a: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
-      val n = math.min(v.numElements(), dim)
+      val n = v.numElements()
+      val common = math.min(n, dim)
       val nCents = flatCents.length / dim
+      // mixed-length exactness: the distance is over the UNION of positions
+      // with missing entries as 0 — identical to the zero-padding the
+      // previous n_v - 2*dot_minlen + n_c crossJoin formula implied. A
+      // truncated loop would under-count dc, shrink the cell radii, and let
+      // phase-2 prune cells holding true neighbors.
+      var vTail = 0.0 // sum v_j^2 for j >= dim (vector longer than matrix)
+      var j = common
+      while (j < n) { val x = v.getDouble(j); vTail += x * x; j += 1 }
       var best = 0
       var bestD2 = Double.MaxValue
       var c = 0
       while (c < nCents) {
         val base = c * dim
-        var s = 0.0
-        var j = 0
-        while (j < n) { val d = v.getDouble(j) - flatCents(base + j); s += d * d; j += 1 }
+        var s = vTail
+        j = 0
+        while (j < common) { val d = v.getDouble(j) - flatCents(base + j); s += d * d; j += 1 }
+        j = common
+        while (j < dim) { val x = flatCents(base + j); s += x * x; j += 1 } // centroid tail
         if (s < bestD2) { bestD2 = s; best = c } // strict: ties keep lower index
         c += 1
       }

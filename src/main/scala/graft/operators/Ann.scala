@@ -150,7 +150,7 @@ object Ann {
         val cells = assigned.groupBy("cell").agg(max(col("dc")).as("rc"))
         val centsDf = centVecs.zipWithIndex
           .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cent_id", "cv")
-        ivfSearch(queries, assigned, cells, centsDf, k, nProbe)
+        ivfSearch(queries, assigned, cells, centsDf, k, nProbe, persistQc = true)
     }
   }
 
@@ -230,7 +230,11 @@ object Ann {
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "vec_id", "rnk", "dist2")
     }
-    ivfSearch(queries, assigned, cells, centsDf, k, nProbe)
+    // persistQc = false: the indexed path promises NO cache to manage —
+    // a long-lived service calling this per batch must not accumulate one
+    // pinned RDD per call. The two probe phases recompute the (skinny,
+    // narrow) |q| x C distance frame instead.
+    ivfSearch(queries, assigned, cells, centsDf, k, nProbe, persistQc = false)
   }
 
   /** The two-phase triangle-inequality search shared by [[ivfTopK]] and
@@ -238,16 +242,19 @@ object Ann {
     * PARTITION of the corpus; `cells(cell, rc)` its radii; `centsDf
     * (cent_id, cv)` the centroid vectors (capped, hence broadcastable). */
   private def ivfSearch(queries: DataFrame, assigned: DataFrame, cells: DataFrame,
-                        centsDf: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    // query-to-centroid distances (|q| x C, C capped): skinny rows, persisted
-    // because both probe phases read them
+                        centsDf: DataFrame, k: Int, nProbe: Int,
+                        persistQc: Boolean): DataFrame = {
+    // query-to-centroid distances (|q| x C, C capped): skinny rows; both
+    // probe phases read them, so the in-session path persists (freed by
+    // ContextCleaner with the result) while the indexed path recomputes
+    // the narrow frame to stay cache-free
     val cents = centsDf.withColumn("n_c", vec_norm2(col("cv")))
     val q = quantize(queries, "query_id", "qv").withColumn("n_q", vec_norm2(col("qv")))
-    val qc = q.crossJoin(broadcast(cents))
+    val qc0 = q.crossJoin(broadcast(cents))
       .withColumn("dqc2", col("n_q") - lit(2.0) * vec_dot(col("qv"), col("cv")) + col("n_c"))
       .select(col("query_id"), col("cent_id"),
         sqrt(greatest(col("dqc2"), lit(0.0))).as("dqc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qc = if (persistQc) qc0.persist(StorageLevel.MEMORY_AND_DISK) else qc0
 
     val pWin = Window.partitionBy("query_id").orderBy(col("dqc"), col("cent_id"))
     val rWin = Window.partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))

@@ -358,11 +358,16 @@ object Images {
       StructField("tx", LongType, nullable = false),
       StructField("ty", LongType, nullable = false),
       StructField("px_count", IntegerType, nullable = false))))
+    override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any = {
       val r = input.asInstanceOf[InternalRow]
       val lonMin = r.getDouble(0); val latMin = r.getDouble(1)
       val lonMax = r.getDouble(2); val latMax = r.getDouble(3)
       val w = r.getInt(4); val h = r.getInt(5); val z = r.getInt(6)
+      // the packed key below gives tx and ty 32 bits each (valid to z = 30,
+      // past any real tile scheme); hostile z from table data nulls instead
+      // of silently merging distinct tiles
+      if (z < 0 || z > 30) return null
       val block = math.max(1, r.getInt(7))
       // flagship hot stage: keys are (tx << 32 | ty) packed longs in a
       // primitive-specialized LongMap (no tuple/Long boxing per block);

@@ -142,18 +142,22 @@ object Snapshots {
     * the protocol, made safe for CONCURRENT committers of the same snapshot
     * (the Iceberg semantics being emulated are precisely about this):
     *
-    *   1. the one-row manifest is written as a parquet file in a hidden
-    *      temp dir (underscore/dot-prefixed paths are invisible to parquet
+    *   1. the committer CLAIMS the snapshot with an atomic
+    *      `Files.createFile` of a dot-prefixed lock — a racing loser stops
+    *      as soon as the winner's file is published (in the narrow window
+    *      where the winner holds the lock but has not yet published, the
+    *      loser falls through — publishing is idempotent and the atomic
+    *      replace below still leaves exactly one valid file);
+    *   2. the winner writes the one-row manifest as a parquet file in a
+    *      hidden temp dir (dot-prefixed paths are invisible to parquet
     *      readers), then
-    *   2. published into `_meta/snapshots/manifest-<sid>.parquet` with an
-    *      atomic NO-replace rename. Two racing committers both reach the
-    *      move; the filesystem picks exactly one winner and the loser's
-    *      FileAlreadyExistsException is swallowed — the manifest can never
-    *      hold two rows for one snapshot, and readers never observe a
-    *      half-written file.
+    *   3. publishes it into `_meta/snapshots/manifest-<sid>.parquet` with a
+    *      same-directory ATOMIC_MOVE — readers can never observe a
+    *      half-written file, and the manifest can never hold two rows for
+    *      one snapshot.
     *
-    * A crash between steps leaves only invisible temp garbage; the next
-    * (sequential) resume re-runs both steps. Concurrent DATA writes for the
+    * A crash between steps leaves a lock with no published target; the next
+    * (sequential) resume detects that and completes the publish. Concurrent DATA writes for the
     * same snapshot remain single-writer-per-snapshot territory — two
     * writers racing the same `data/part_id=N` directories is undefined, as
     * it is for any filesystem table format without a catalog lock; the
@@ -174,6 +178,18 @@ object Snapshots {
     if (hasLegacyParts &&
         !readSnapshots(spark, table).where(col("snapshot_id") === snapshotId).isEmpty) return
 
+    // claim FIRST with an atomic dot-file create (invisible to parquet
+    // readers): losers of a live race stop here without even paying the
+    // temp write. A lock with no published target means the claimant
+    // crashed mid-publish — the (sequential, documented) resume falls
+    // through and publishes.
+    Files.createDirectories(snapDir)
+    val lock = snapDir.resolve(s".manifest-$snapshotId.lock")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        if (Files.exists(target)) return // already published by the winner
+    }
     val tmpDir = Paths.get(metaDir(table), s".tmp-manifest-$snapshotId-${java.util.UUID.randomUUID}")
     Seq((snapshotId, java.time.Instant.now.toString, operation, nParts))
       .toDF("snapshot_id", "ts", "operation", "n_partitions")
@@ -183,9 +199,13 @@ object Snapshots {
       try s.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
       finally s.close()
     }
-    Files.createDirectories(snapDir)
-    try Files.move(partFile, target) // atomic, NO replace: one deterministic winner
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // same-directory ATOMIC_MOVE (tmp lives under _meta, snapshots under
+    // _meta — one filesystem by construction): readers can never observe a
+    // half-written manifest. Replace semantics only matter in the
+    // crashed-claimant resume path above, where the replacement row is the
+    // same snapshot's.
+    try Files.move(partFile, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     finally {
       val s = Files.list(tmpDir)
       try s.forEach(p => Files.deleteIfExists(p)) finally s.close()

@@ -90,6 +90,13 @@ class ImagesSpec extends SparkTestBase {
     assert(rows.map(_.getInt(2)).sum == 64 * 48, "pixel counts must sum to w*h")
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length > 1,
       "footprint should span multiple tiles at z=12")
+    // hostile zoom from table data: the 32-bit packed tile key is valid to
+    // z = 30; beyond that the expression nulls instead of merging tiles
+    val zbad = Seq(40, -1).toDF("z").select(image_tile_blocks(struct(
+      lit(0.0).as("lon_min"), lit(0.0).as("lat_min"),
+      lit(1.0).as("lon_max"), lit(1.0).as("lat_max"),
+      lit(16).as("w"), lit(16).as("h"), $"z", lit(8).as("block"))).as("tb")).collect()
+    assert(zbad(0).isNullAt(0) && zbad(1).isNullAt(0), "z outside [0,30] -> null")
   }
 
   test("full pipeline on sf0.001 produces joined tile stats (entry contract)") {
@@ -203,7 +210,11 @@ class ImagesSpec extends SparkTestBase {
       try s.iterator().asScala.map(_.getFileName.toString).toList
       finally s.close()
     }
-    assert(files == List("manifest-7.parquet"), s"one published file, got $files")
+    // exactly one PUBLISHED manifest; the dot-prefixed claim lock is
+    // invisible to parquet readers
+    assert(files.filterNot(_.startsWith(".")) == List("manifest-7.parquet"),
+      s"one published file, got $files")
+    assert(files.contains(".manifest-7.lock"), "winner's claim lock present")
     // no temp litter left behind in _meta
     val metaFiles = {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t/_meta"))

@@ -205,6 +205,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(i3 == b3 && i3.nonEmpty)
     // empty corpus: no crash, zero rows (brute fallback)
     assert(Ann.ivfTopK(vecs.where($"vec_id" < 0), vecs.limit(2), k = 3).count() == 0)
+    // mixed-length vectors: brute's dist2 = n_q - 2*dot_minlen + n_v is the
+    // zero-padding semantics, and the assignment kernel must match it (a
+    // min-length-truncated distance would shrink cell radii and let phase 2
+    // prune true neighbors)
+    val mixed = (0 until 120).map { i =>
+      val d = if (i % 3 == 0) 8 else 16
+      (i.toLong, (0 until d).map(j => (((i * 7 + j * 13) % 19) - 9) / 10.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qm = mixed.where($"vec_id" % 20 === 0)
+    val bm = Ann.bruteTopK(mixed, qm, k = 5)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val im = Ann.ivfTopK(mixed, qm, k = 5, maxCentroids = 10, nProbe = 2)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(im == bm && im.nonEmpty, "mixed-length corpora must stay exact")
     // the cap is corpus-size-independent: C(n) is monotone then flat
     assert(Ann.centroidCap(100) == 40 && Ann.centroidCap(1L << 40) == 4096 &&
       Ann.centroidCap(1) == 16)
