@@ -406,6 +406,18 @@ object SparkEntry {
           col("dist2").cast("long").as("dist2"))
         .orderBy("query_id", "rnk")
     }),
+    "q51_dedup_groups" -> ((s, dir) => {
+      // the last stage of a dedup pipeline: near-dup PAIRS (q23's portable
+      // minhash machinery) collapsed into connected components, every doc
+      // labeled with its component's min id. Pointer-jumping propagation
+      // (O(log diameter) rounds) vs the oracle's recursive-CTE closure.
+      reg(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 64, shingleW = 3, threshold = 0.5)
+      Dedup.dedupGroups(docs.select("doc_id"), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
     "q50_ann_lsh" -> ((s, dir) => {
       // the probabilistic ANN variant, oracle-pinned in its PROVABLE-recall
       // regime: nBits = 1 with hamming-1 multi-probe spans the entire code
@@ -609,6 +621,22 @@ object SparkEntry {
     val featJson = "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"Point\",\"coordinates\":[' || " +
       "printf('%d', CAST(x0 AS BIGINT)) || '.0,' || printf('%d', CAST(y0 AS BIGINT)) || '.0]}'"
 
+    // the fully-portable minhash signature chain (shingle -> md5 hash ->
+    // 64 affine-mod-2^61 minima -> per-pair agreement count), shared by the
+    // q23 pair oracle and the q51 connected-components oracle
+    val minhashCtes =
+      "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS L FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(L) < 3 THEN array_to_string(L, ' ') " +
+        "ELSE array_to_string(L[i:i+2], ' ') END AS s FROM " +
+        "(SELECT doc_id, L, unnest(CASE WHEN len(L) = 0 THEN CAST([] AS BIGINT[]) " +
+        "ELSE range(1, greatest(1, len(L) - 2) + 1) END) AS i FROM toks)), " +
+        "hv AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh), " +
+        "sig AS (SELECT doc_id, j, min(CAST((CAST(2*j+3 AS HUGEINT) * h + (5*j+7)) % 2305843009213693951 AS BIGINT)) AS m " +
+        "FROM hv, generate_series(0, 63) t(j) GROUP BY 1, 2), " +
+        "agree AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS agree64 " +
+        "FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+
     Map(
       "q01_pricing_agg" ->
         ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
@@ -749,18 +777,21 @@ object SparkEntry {
           "SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
           "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9 ORDER BY id_a, id_b"),
       "q23_minhash_pairs" ->
-        ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS L FROM documents), " +
-          "sh AS (SELECT doc_id, CASE WHEN len(L) < 3 THEN array_to_string(L, ' ') " +
-          "ELSE array_to_string(L[i:i+2], ' ') END AS s FROM " +
-          "(SELECT doc_id, L, unnest(CASE WHEN len(L) = 0 THEN CAST([] AS BIGINT[]) " +
-          "ELSE range(1, greatest(1, len(L) - 2) + 1) END) AS i FROM toks)), " +
-          "hv AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh), " +
-          "sig AS (SELECT doc_id, j, min(CAST((CAST(2*j+3 AS HUGEINT) * h + (5*j+7)) % 2305843009213693951 AS BIGINT)) AS m " +
-          "FROM hv, generate_series(0, 63) t(j) GROUP BY 1, 2), " +
-          "agree AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-          "CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS agree64 " +
-          "FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-          "SELECT id_a, id_b, agree64 FROM agree WHERE agree64 >= 32 ORDER BY id_a, id_b"),
+        ("WITH " + minhashCtes +
+          " SELECT id_a, id_b, agree64 FROM agree WHERE agree64 >= 32 ORDER BY id_a, id_b"),
+      "q51_dedup_groups" ->
+        // connected components over the SAME portable minhash pairs as q23:
+        // the oracle takes the recursive-CTE transitive closure and labels
+        // every doc with min(reachable ids ∪ self) — exactly the fixpoint
+        // the Spark pointer-jumping propagation computes
+        ("WITH RECURSIVE " + minhashCtes + ", " +
+          "prs AS (SELECT id_a, id_b FROM agree WHERE agree64 >= 32), " +
+          "e AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs), " +
+          "reach(s, t) AS (SELECT a, b FROM e " +
+          "UNION SELECT r.s, x.b FROM reach r JOIN e x ON x.a = r.t), " +
+          "rep AS (SELECT s AS doc_id, min(t) AS mn FROM reach GROUP BY s) " +
+          "SELECT d.doc_id, COALESCE(least(r.mn, d.doc_id), d.doc_id) AS rep_id " +
+          "FROM documents d LEFT JOIN rep r USING (doc_id) ORDER BY d.doc_id"),
       "q24_simhash_pairs" ->
         ("WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS tok FROM documents), " +
           "hv AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks), " +

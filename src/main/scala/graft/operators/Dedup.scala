@@ -39,6 +39,64 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Connected-component grouping over near-duplicate PAIRS — the standard
+    * last stage of a dedup pipeline: pairs from [[minhashPairs]] /
+    * [[simhashPairs]] / [[jaccardPairs]] /
+    * [[graft.operators.Ann.cosineDupPairs]] are collapsed into groups and
+    * every document gets its component's MINIMUM id as the canonical
+    * representative (`rep_id`); keep rows where `idCol == rep_id`, or route
+    * others to review.
+    *
+    * Algorithm: iterated min-label propagation with POINTER JUMPING — each
+    * round first takes the min label over graph neighbors, then replaces
+    * every label by its label's label (path halving), so convergence is
+    * O(log diameter) rounds rather than O(diameter): an adversarial
+    * near-dup CHAIN of length 10^6 resolves in ~20 rounds, not 10^6. Each
+    * round is two skinny (id, lbl) shuffles; per-round results are
+    * checkpoint-truncated (the [[Knn]] lesson: without truncation the plan
+    * tree doubles per round and the driver dies printing it) and the
+    * previous round's blocks are released immediately. Termination is the
+    * round's changed-label count — the same action that materializes the
+    * new labels. `reliableCheckpoint = true` (with `sc.setCheckpointDir`)
+    * makes rounds durable on a real cluster, as in [[Knn.knnCelled]].
+    *
+    * Exactness: labels start at own id and only ever decrease via mins over
+    * component members, so the fixpoint label of every node is exactly the
+    * component minimum — no data assumptions, DuckDB-oracle-provable via a
+    * recursive-CTE transitive closure (q51). */
+  def dedupGroups(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
+    if (reliableCheckpoint)
+      require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "dedupGroups(reliableCheckpoint = true) needs sc.setCheckpointDir(...)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = truncate(nodes.select(col(idCol).as("id"), col(idCol).as("lbl")))
+    var changed = 1L
+    while (changed > 0) {
+      // neighbor min: lbl'(v) = min(lbl(v), min over u~v of lbl(u))
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .union(labels.select("id", "lbl"))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer jump: lbl''(v) = lbl'(lbl'(v)) — labels are node ids, so
+      // the inner join always matches
+      val jumped = nbrMin
+        .join(nbrMin.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("lbl") === col("jid"))
+        .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
+      val next = truncate(jumped)
+      changed = next.select(col("id"), col("lbl").as("nlbl"))
+        .join(labels, "id")
+        .where(col("nlbl") =!= col("lbl")).count()
+      labels.unpersist(false)
+      labels = next
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("rep_id"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs above a Jaccard estimate
     * threshold: shingle -> minhash signature -> band-bucket join -> verify
     * with the signature agreement rate (unbiased Jaccard estimator).

@@ -266,6 +266,34 @@ class OperatorsSpec extends SparkTestBase {
       b == math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
   }
 
+  test("dedupGroups == naive union-find (random graph, chain, singletons)") {
+    def naiveCC(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new scala.util.Random(21)
+    // random sparse graph + a long CHAIN (pointer jumping's worst case:
+    // diameter >> 1, must converge in O(log d) rounds) + isolated nodes
+    val n = 400
+    val randomEdges = (0 until 150).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val chain = (200 until 339).map(i => (i.toLong, (i + 1).toLong)) // 140-node path
+    val edges = randomEdges ++ chain
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = Dedup.dedupGroups(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val want = naiveCC(n, edges)
+    assert(got == want, "component representative must be the exact component min")
+    assert(got(339L) == 200L, "chain end must resolve to the chain head")
+    assert(got(399L) == 399L, "isolated nodes keep themselves as representative")
+  }
+
   test("zero-token docs never acquire signatures (minhash + simhash)") {
     // includes tab/newline-only docs: Spark trim() strips only spaces, so a
     // trim-based guard would still pair (5, 6)
