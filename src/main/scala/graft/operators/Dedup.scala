@@ -52,7 +52,9 @@ object Dedup {
     * every label by its label's label (path halving), so convergence is
     * O(log diameter) rounds rather than O(diameter): an adversarial
     * near-dup CHAIN of length 10^6 resolves in ~20 rounds, not 10^6. Each
-    * round is two skinny (id, lbl) shuffles; per-round results are
+    * round is two skinny (id, lbl) shuffles OVER PAIRED NODES ONLY — the
+    * singleton majority of a real corpus never enters the loop and is
+    * attached at the end with one left join; per-round results are
     * checkpoint-truncated (the [[Knn]] lesson: without truncation the plan
     * tree doubles per round and the driver dies printing it) and the
     * previous round's blocks are released immediately. Termination is the
@@ -73,8 +75,14 @@ object Dedup {
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = truncate(nodes.select(col(idCol).as("id"), col(idCol).as("lbl")))
-    var changed = 1L
+    // iterate ONLY over nodes that appear in a pair: in a dedup corpus the
+    // overwhelming majority of documents are singletons, and carrying them
+    // through every propagation round would multiply each round's shuffle
+    // by corpus size for rows whose label can never change. Singletons are
+    // attached after the fixpoint with one left join (rep = self).
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
+    var changed = if (labels.isEmpty) 0L else 1L
     while (changed > 0) {
       // neighbor min: lbl'(v) = min(lbl(v), min over u~v of lbl(u))
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
@@ -94,7 +102,9 @@ object Dedup {
       labels.unpersist(false)
       labels = next
     }
-    labels.select(col("id").as(idCol), col("lbl").as("rep_id"))
+    nodes.select(col(idCol))
+      .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("rep_id"))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs above a Jaccard estimate
