@@ -418,6 +418,17 @@ object SparkEntry {
       Dedup.dedupGroups(docs.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     }),
+    "q52_ngram_jaccard" -> ((s, dir) => {
+      // the n-gram flavor of exact Jaccard dedup: character 16-gram sets,
+      // word-ORDER-sensitive (a shuffled word salad keeps the word set of
+      // q27 but loses most 16-grams); same prefix plan and
+      // the identical inter/union double compare as q27's oracle
+      reg(s)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
     "q50_ann_lsh" -> ((s, dir) => {
       // the probabilistic ANN variant, oracle-pinned in its PROVABLE-recall
       // regime: nBits = 1 with hamming-1 multi-probe spans the entire code
@@ -776,6 +787,14 @@ object SparkEntry {
           "JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
           "SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
           "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9 ORDER BY id_a, id_b"),
+      "q52_ngram_jaccard" ->
+        ("WITH g AS (SELECT doc_id, unnest(list_distinct([CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 15) AS BIGINT) " +
+          "FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])) AS tk FROM documents), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), " +
+          "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM g a " +
+          "JOIN g b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+          "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8 ORDER BY id_a, id_b"),
       "q23_minhash_pairs" ->
         ("WITH " + minhashCtes +
           " SELECT id_a, id_b, agree64 FROM agree WHERE agree64 >= 32 ORDER BY id_a, id_b"),

@@ -186,8 +186,52 @@ object Dedup {
     *  - otherwise: [[jaccardPairsPrefix]] — PPJoin-style prefix filter.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, minTokenLen: Int = 0): DataFrame = {
-    val toks = tokenSets(df, idCol, textCol, minTokenLen)
+                   threshold: Double, minTokenLen: Int = 0): DataFrame =
+    adaptiveJaccard(tokenSets(df, idCol, textCol, minTokenLen), threshold)
+
+  /** CHARACTER-n-gram Jaccard near-dup pairs — the n-gram flavor of
+    * [[jaccardPairs]] (word-order-sensitive where the word-set variant is
+    * not: a shuffled word salad shares the word set but few 12-grams).
+    * The gram set is `distinct(substring(text, i, n) for i in 1..len-n+1)`
+    * — a narrow per-row expression; a text shorter than n contributes its
+    * whole self as the single gram (both engines' substring semantics, so
+    * the DuckDB oracle reproduces it verbatim, q52). Empty texts pair with
+    * each other as exact duplicates (one empty gram), consistent on both
+    * sides.
+    *
+    * Grams are carried as PORTABLE 60-bit md5 hashes (the q23/q26 hash:
+    * `conv(substr(md5(g), 1, 15), 16, 10)`, recomputed verbatim by the
+    * oracle) rather than strings: candidate verification intersects long
+    * arrays instead of 12-char strings — measured 26 s -> ~8 s at sf0.1,
+    * where a template corpus defeats prefix filtering and verification is
+    * near-all-pairs. Jaccard over injectively-hashed grams equals gram
+    * Jaccard except under a 60-bit collision (p < 1e-9 per corpus), and
+    * both engines hash identically so the comparison can never drift.
+    * Goes straight to the PPJoin prefix plan (an n-gram vocabulary is
+    * never <= 64). For web-scale fuzzy matching use [[minhashPairs]]
+    * (LSH-bounded candidates); exact n-gram Jaccard is the verifier tier. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 12, threshold: Double = 0.8): DataFrame = {
+    require(n >= 1, "ngramJaccardPairs needs n >= 1")
+    // the gram pass is the CPU-heavy narrow stage (one md5 per gram); an
+    // under-partitioned source (one small parquet file) would run it as a
+    // single task — profiled as 3 consecutive 1-task 7-second stages at
+    // sf0.1. Repartition only when the source has fewer partitions than
+    // the cluster (a well-partitioned 100 TB corpus skips the shuffle).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    val grams = base.select(col(idCol).as("id"), expr(
+        s"array_sort(array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
+          s"i -> CAST(conv(substr(md5(substring($textCol, i, $n)), 1, 15), 16, 10) AS BIGINT))))")
+        .as("toks"))
+      .withColumn("sz", size(col("toks")))
+    jaccardPairsPrefixSortedLongs(grams, threshold)
+  }
+
+  /** Shared dispatch: one bounded vocabulary probe (<= 65 rows collected)
+    * picks the dictionary/bitmask plan for tiny vocabularies, the
+    * PPJoin-style prefix plan otherwise. */
+  private def adaptiveJaccard(toks: DataFrame, threshold: Double): DataFrame = {
     val vocab = toks.select(explode(col("toks")).as("tok")).distinct()
       .orderBy("tok").as(org.apache.spark.sql.Encoders.STRING).take(65)
     if (vocab.length <= 64) jaccardPairsDict(toks, vocab, threshold)
@@ -300,7 +344,19 @@ object Dedup {
     *      sets (array_intersect) — no approximation anywhere.
     *
     */
-  def jaccardPairsPrefix(toks: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsPrefix(toks: DataFrame, threshold: Double): DataFrame =
+    prefixPlan(toks, threshold, sortedLongs = false)
+
+  /** [[jaccardPairsPrefix]] with the candidate verify running through the
+    * codegen'd [[graft.functions.vecexprs.SortedInterCount]] merge kernel —
+    * requires `toks` to be SORTED, duplicate-free `array<bigint>`. Used by
+    * [[ngramJaccardPairs]], whose hashed gram sets satisfy the contract;
+    * on near-all-pairs candidate sets the per-pair hash-set allocation of
+    * `array_intersect` was the dominant stage cost (~2x the whole query). */
+  private[graft] def jaccardPairsPrefixSortedLongs(toks: DataFrame, threshold: Double): DataFrame =
+    prefixPlan(toks, threshold, sortedLongs = true)
+
+  private def prefixPlan(toks: DataFrame, threshold: Double, sortedLongs: Boolean): DataFrame = {
     val c = threshold / (1.0 + threshold)
     val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
     val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -327,7 +383,9 @@ object Dedup {
     cand
       .join(full.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a")), "id_a")
       .join(full.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter",
+        if (sortedLongs) sorted_inter_count(col("toks_a"), col("toks_b"))
+        else size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)

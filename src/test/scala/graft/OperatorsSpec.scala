@@ -158,6 +158,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaPrefix == naive(small, 0.7))
   }
 
+  test("character-n-gram jaccard pairs == naive; order-sensitive vs word sets") {
+    def grams(s: String, n: Int): Set[String] =
+      if (s.length <= n) Set(s)
+      else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+    def naive(docs: Seq[(Long, String)], n: Int, t: Double): Set[(Long, Long)] = {
+      val sets = docs.map { case (id, s) => id -> grams(s, n) }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = (sa intersect sb).size.toDouble / (sa union sb).size
+        if j >= t
+      } yield (a, b)).toSet
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "dog lazy the over jumps fox brown quick the"), // SAME word set as 1
+      (4L, "completely unrelated content right here"),
+      (5L, ""), (6L, ""), // empty texts pair as exact duplicates
+      (7L, "short")) // shorter than n: whole text is the single gram
+    val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 12, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == naive(docs, 12, 0.5))
+    assert(got.contains((1L, 2L)), "near-identical texts share most 12-grams")
+    assert(!got.contains((1L, 3L)),
+      "word-salad doc shares the WORD set of doc 1 but almost no 12-grams")
+    assert(Dedup.jaccardPairs(docs.take(3).toDF("doc_id", "text"), "doc_id", "text", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((1L, 3L)),
+      "sanity: the word-set variant DOES pair the word salad")
+    assert(got.contains((5L, 6L)), "empty texts are exact duplicates of each other")
+  }
+
   test("ANN LSH top-k achieves high recall vs brute force") {
     // clustered embeddings (LSH's applicability regime): 20 centers + noise
     val rnd = new scala.util.Random(5)
