@@ -26,6 +26,16 @@ object Dedup {
         math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
   }
 
+  /** Widen an under-partitioned source to cluster parallelism before a
+    * CPU-heavy narrow signature/tokenize pass: a one-file parquet corpus
+    * otherwise runs the whole pass as a SINGLE task (profiled as
+    * consecutive 1-task multi-second stages on the sf0.1 documents table).
+    * A corpus already at cluster parallelism skips the shuffle. */
+  private def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Exact dedup on a key column: keeps the smallest id per key.
     * One shuffle (partial-agg map side combine applies). */
   def exactKeep(df: DataFrame, idCol: String, keyCol: String): DataFrame =
@@ -134,7 +144,7 @@ object Dedup {
     // them up front so engine and oracle agree on degenerate inputs (rlike
     // \S, because trim() strips only spaces and a tab/newline-only doc is
     // just as tokenless)
-    val withBands = df.where(col(textCol).rlike("\\S")).select(col(idCol).as("id"),
+    val withBands = widen(df.where(col(textCol).rlike("\\S"))).select(col(idCol).as("id"),
         minhash(col(textCol), numHashes, shingleW).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(expr(s"slice(lsh_bands(sig, $nBands), 1, $probeBands)"))
@@ -160,7 +170,7 @@ object Dedup {
     * verify by full hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     // exclude zero-token docs (no tokens -> no signature), same as minhash
-    val sigs = df.where(col(textCol).rlike("\\S"))
+    val sigs = widen(df.where(col(textCol).rlike("\\S")))
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("bucket", expr("(sig >> (band_idx * 15)) & 32767"))
@@ -213,14 +223,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 12, threshold: Double = 0.8): DataFrame = {
     require(n >= 1, "ngramJaccardPairs needs n >= 1")
-    // the gram pass is the CPU-heavy narrow stage (one md5 per gram); an
-    // under-partitioned source (one small parquet file) would run it as a
-    // single task — profiled as 3 consecutive 1-task 7-second stages at
-    // sf0.1. Repartition only when the source has fewer partitions than
-    // the cluster (a well-partitioned 100 TB corpus skips the shuffle).
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
-    val grams = base.select(col(idCol).as("id"), expr(
+    val grams = widen(df).select(col(idCol).as("id"), expr(
         s"array_sort(array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
           s"i -> CAST(conv(substr(md5(substring($textCol, i, $n)), 1, 15), 16, 10) AS BIGINT))))")
         .as("toks"))
@@ -240,7 +243,7 @@ object Dedup {
 
   private def tokenSets(df: DataFrame, idCol: String, textCol: String,
                         minTokenLen: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    widen(df).select(col(idCol).as("id"),
         array_distinct(split(col(textCol), " ")).as("toks"))
       .withColumn("toks", expr(s"filter(toks, t -> length(t) >= $minTokenLen)"))
       .withColumn("sz", size(col("toks")))
