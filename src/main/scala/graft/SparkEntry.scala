@@ -19,8 +19,11 @@ object SparkEntry {
 
   private def reg(spark: SparkSession): Unit = GraftFunctions.register(spark)
 
+  // ParUtil.widen: the sf tables are single small parquet files, so
+  // without it every per-row-heavy stage (codecs, hashes, WKT formatting)
+  // above a scan runs as ONE task regardless of core count
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    ParUtil.widen(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship: the full spatial pipeline on sf0.001 — WKT parsed once,
     * covered, cell-equijoined, ray-cast refined, tiled. */

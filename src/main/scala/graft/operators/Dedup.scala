@@ -31,10 +31,7 @@ object Dedup {
     * otherwise runs the whole pass as a SINGLE task (profiled as
     * consecutive 1-task multi-second stages on the sf0.1 documents table).
     * A corpus already at cluster parallelism skips the shuffle. */
-  private def widen(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
-  }
+  private def widen(df: DataFrame): DataFrame = graft.ParUtil.widen(df)
 
   /** Exact dedup on a key column: keeps the smallest id per key.
     * One shuffle (partial-agg map side combine applies). */

@@ -56,7 +56,10 @@ object SynthData {
     s"SELECT n_nationkey AS query_id, $queryLonSql AS qlon, $queryLatSql AS qlat FROM nation"
 
   def points(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet")
+    // widen: orders.parquet is one small file — everything derived from the
+    // point layer (WKT formatting, cell explode, image synth/codecs) would
+    // otherwise execute single-task above the scan (graft.ParUtil)
+    graft.ParUtil.widen(spark.read.parquet(s"$dir/orders.parquet"))
       .select(col("o_orderkey").as("point_id"),
         expr(pointLonSql).as("lon"), expr(pointLatSql).as("lat"))
 
