@@ -356,8 +356,13 @@ object Dedup {
   private[graft] def jaccardPairsPrefixSortedLongs(toks: DataFrame, threshold: Double): DataFrame =
     prefixPlan(toks, threshold, sortedLongs = true)
 
-  private def prefixPlan(toks: DataFrame, threshold: Double, sortedLongs: Boolean): DataFrame = {
+  private def prefixPlan(toks0: DataFrame, threshold: Double, sortedLongs: Boolean): DataFrame = {
     val c = threshold / (1.0 + threshold)
+    // the tokenize/gram subtree feeds THREE consumers (the inverted index
+    // and both sides of the verify join) — persist it once, same lifecycle
+    // as jaccardPairsDict's mask cache (ContextCleaner frees the blocks
+    // with the returned plan)
+    val toks = toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
     val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc prefix in global (df, tok) order
