@@ -77,6 +77,7 @@ object GraftFunctions {
     "simhash" -> arity(1, a => textexprs.SimHash(a(0))),
     "hamming_dist" -> arity(2, a => textexprs.HammingDist(a(0), a(1))),
     "doc_fingerprint" -> arity(2, a => textexprs.Fingerprint(a(0), a(1))),
+    "ngram_hash_set" -> arity(2, a => textexprs.NgramHashSet(a(0), a(1))),
     "lang_id" -> arity(1, a => textexprs.LangId(a(0))),
     "image_decode" -> arity(1, a => graft.operators.Images.ImageDecode(a(0))),
     "image_decode_dims" -> arity(1, a => graft.operators.Images.ImageDecodeDims(a(0))),
@@ -179,6 +180,8 @@ object GraftFunctions {
   def hamming_dist(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
   def doc_fingerprint(text: Column, k: Int): Column =
     call_function("doc_fingerprint", text, lit(k))
+  def ngram_hash_set(text: Column, n: Int): Column =
+    call_function("ngram_hash_set", text, lit(n))
   def lang_id(text: Column): Column = call_function("lang_id", text)
   def image_decode(bytes: Column): Column = call_function("image_decode", bytes)
   def image_decode_dims(bytes: Column): Column = call_function("image_decode_dims", bytes)

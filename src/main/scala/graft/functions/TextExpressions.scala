@@ -201,6 +201,45 @@ object textexprs {
     * stopword set; prediction = highest score, ties broken by profile
     * order, zero score -> "und". Token membership (not substring counting)
     * keeps the heuristic exactly reproducible in SQL. */
+  /** ngram_hash_set(text, n): SORTED, duplicate-free [[portableHash60]]
+    * hashes of every character n-gram (a text shorter than n contributes
+    * its whole self as the single gram; an empty text hashes the empty
+    * string — the same substring semantics the DuckDB oracle reproduces as
+    * `CAST('0x' || substr(md5(substr(text, i, n)), 1, 15) AS BIGINT)`).
+    * One narrow pass replacing the SQL
+    * sequence/transform/md5-hex/conv/array_distinct/array_sort chain, which
+    * allocated an index array plus a 32-char hex string and a string-parse
+    * per GRAM; the output contract (sorted distinct longs) feeds the
+    * merge-intersect verify kernel directly. */
+  case class NgramHashSet(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(StringType, IntegerType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any, n0: Any): Any = {
+      val s = t.asInstanceOf[UTF8String].toString
+      val n = math.max(1, n0.asInstanceOf[Int])
+      val m = math.max(s.length - n + 1, 1)
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        out(i) = portableHash60(s.substring(i, math.min(i + n, s.length)))
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var w = 0
+      var r = 0
+      while (r < m) {
+        if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+        r += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (w == m) out else java.util.Arrays.copyOf(out, w))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramHashSet =
+      copy(left = l, right = r)
+    override def prettyName: String = "ngram_hash_set"
+  }
+
   case class LangId(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType

@@ -135,8 +135,10 @@ object Ann {
     *
     * Lifecycle: the two persisted intermediates (assignment, query-centroid
     * distances) back the RETURNED plan, so they cannot be unpersisted here;
-    * they are freed by Spark's ContextCleaner when the result goes out of
-    * scope. A service issuing many query batches over one corpus should
+    * Dataset-level persist is held by the session CacheManager until an
+    * explicit `spark.catalog.clearCache()` / uncache (NOT freed by GC), so
+    * one-shot jobs are unaffected but long-lived sessions should clear
+    * between batches. A service issuing many query batches over one corpus should
     * build the index ONCE with [[writeIvfIndex]] and answer batches with
     * [[ivfTopKIndexed]] — no per-call count/sample/assignment work and no
     * in-memory cache to manage. */
@@ -245,9 +247,10 @@ object Ann {
                         centsDf: DataFrame, k: Int, nProbe: Int,
                         persistQc: Boolean): DataFrame = {
     // query-to-centroid distances (|q| x C, C capped): skinny rows; both
-    // probe phases read them, so the in-session path persists (freed by
-    // ContextCleaner with the result) while the indexed path recomputes
-    // the narrow frame to stay cache-free
+    // probe phases read them, so the in-session path persists (held by the
+    // CacheManager until the caller clears it — see ivfTopK's lifecycle
+    // note) while the indexed path recomputes the narrow frame to stay
+    // cache-free
     val cents = centsDf.withColumn("n_c", vec_norm2(col("cv")))
     val q = quantize(queries, "query_id", "qv").withColumn("n_q", vec_norm2(col("qv")))
     val qc0 = q.crossJoin(broadcast(cents))

@@ -80,8 +80,16 @@ object Dedup {
         "dedupGroups(reliableCheckpoint = true) needs sc.setCheckpointDir(...)")
     def truncate(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // pairs referencing ids absent from `nodes` (stale/filtered pair
+    // files) are dropped up front: otherwise a foreign id could win the
+    // component minimum and be emitted as a rep_id that names no real
+    // document — two semi-joins, paid once before the loop
+    val nodeIds = nodes.select(col(idCol).as("nid"))
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = edges0
+      .join(nodeIds.withColumnRenamed("nid", "src"), Seq("src"), "left_semi")
+      .join(nodeIds.withColumnRenamed("nid", "dst"), Seq("dst"), "left_semi")
     // iterate ONLY over nodes that appear in a pair: in a dedup corpus the
     // overwhelming majority of documents are singletons, and carrying them
     // through every propagation round would multiply each round's shuffle
@@ -220,10 +228,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 12, threshold: Double = 0.8): DataFrame = {
     require(n >= 1, "ngramJaccardPairs needs n >= 1")
-    val grams = widen(df).select(col(idCol).as("id"), expr(
-        s"array_sort(array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
-          s"i -> CAST(conv(substr(md5(substring($textCol, i, $n)), 1, 15), 16, 10) AS BIGINT))))")
-        .as("toks"))
+    // ngram_hash_set: one narrow kernel pass producing the sorted distinct
+    // hash set directly (replaces a sequence/transform/md5-hex/conv/
+    // array_distinct/array_sort SQL chain that allocated a hex string and
+    // a string-parse per gram)
+    val grams = widen(df).select(col(idCol).as("id"),
+        ngram_hash_set(col(textCol), n).as("toks"))
       .withColumn("sz", size(col("toks")))
     jaccardPairsPrefixSortedLongs(grams, threshold)
   }
@@ -264,13 +274,14 @@ object Dedup {
     *
     * Lifecycle: the tokenize+mask subtree is persisted (MEMORY_AND_DISK)
     * because it feeds four joins of the returned plan, and therefore CANNOT
-    * be unpersisted before the caller consumes the result; the blocks are
-    * reclaimed by Spark's ContextCleaner once the returned DataFrame goes
-    * out of scope. A long-lived session issuing MANY dedup calls should
-    * bound peak cache usage the deterministic way: materialize the result
-    * (write / localCheckpoint(eager = true)) and then
-    * `spark.sharedState.cacheManager.clearCache()` or unpersist via
-    * `spark.catalog`, rather than relying on GC timing. */
+    * be unpersisted before the caller consumes the result. Dataset-level
+    * persist is registered with the session CacheManager, which holds it
+    * until explicitly uncached — it is NOT freed when the DataFrame is
+    * GC'd. One-shot jobs (and the bench, which clears per pass) are
+    * unaffected; a long-lived session issuing MANY dedup calls must
+    * materialize each result (write / localCheckpoint(eager = true)) and
+    * then `spark.catalog.clearCache()` between calls. Same contract for
+    * the prefix plan's token cache and [[graft.operators.Ann.ivfTopK]]. */
   def jaccardPairsDict(toks: DataFrame, vocab: Array[String],
                        threshold: Double, blocks: Int = 0): DataFrame = {
     val spark = toks.sparkSession
@@ -280,7 +291,7 @@ object Dedup {
     // cached: this subtree feeds FOUR joins below (both sides of the
     // same-mask pairing, both sides of the mask-pair expansion) — without
     // persist the tokenize+mask pass would re-read the corpus four times.
-    // Spark's ContextCleaner reclaims the blocks once the plan is GC'd.
+    // Held by the CacheManager until the caller clears it (docstring).
     val withMask = toks
       .withColumn("mask", aggregate(col("toks"), lit(0L),
         (acc, t) => acc.bitwiseOR(
@@ -360,8 +371,8 @@ object Dedup {
     val c = threshold / (1.0 + threshold)
     // the tokenize/gram subtree feeds THREE consumers (the inverted index
     // and both sides of the verify join) — persist it once, same lifecycle
-    // as jaccardPairsDict's mask cache (ContextCleaner frees the blocks
-    // with the returned plan)
+    // contract as jaccardPairsDict's mask cache (held by the CacheManager
+    // until the caller clears it; see that docstring)
     val toks = toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
     val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -84,9 +84,11 @@ object SpatialJoin {
     val spark = points.sparkSession
     import spark.implicits._
     // cached once: the CPU-heavy quadtree covering feeds the pre-pass and
-    // both join branches. The cache is reclaimed by Spark's ContextCleaner
-    // once the result is materialized and this frame goes out of scope
-    // (weak-reference cleanup) — it does not accumulate across calls.
+    // both join branches. Dataset-level cache is held by the session
+    // CacheManager until explicitly uncached (it is NOT freed by GC) —
+    // one-shot jobs are unaffected; long-lived sessions should
+    // spark.catalog.clearCache() between batches (see Dedup's lifecycle
+    // contract).
     val cover = coverSide(polys, level).cache()
     val pts = points.withColumn("cell",
       explode(st_cell_ancestors(col("lon"), col("lat"), level)))

@@ -324,6 +324,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == want, "component representative must be the exact component min")
     assert(got(339L) == 200L, "chain end must resolve to the chain head")
     assert(got(399L) == 399L, "isolated nodes keep themselves as representative")
+    // pairs referencing ids NOT in nodes (stale pair file) are ignored: a
+    // foreign id must never become a rep_id
+    val dirty = Dedup.dedupGroups(Seq(5L, 6L).toDF("doc_id"),
+        Seq((2L, 5L), (5L, 6L), (7L, 9L)).toDF("id_a", "id_b"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(dirty == Map(5L -> 5L, 6L -> 5L),
+      s"foreign-id pairs must be dropped, got $dirty")
   }
 
   test("zero-token docs never acquire signatures (minhash + simhash)") {
