@@ -81,6 +81,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup: exact key dedup + n-gram-signature near-dup suppression") {
+    // the dedup pillar under Structured Streaming: a document stream is
+    // deduplicated (a) exactly on a content key and (b) fuzzily on the
+    // ngram_hash_set fingerprint of the text — dropDuplicatesWithinWatermark
+    // keeps per-key state only inside the watermark horizon, the streaming
+    // analog of the batch exactKeep/ngramJaccardPairs pipeline stages
+    import graft.functions.GraftFunctions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = input.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "10 minutes")
+      // n-gram signature as the fuzzy key: identical texts (and texts whose
+      // 8-gram sets coincide) collapse to one surviving row
+      .withColumn("sig", xxhash64(ngram_hash_set(col("text"), 8)))
+      .dropDuplicatesWithinWatermark("sig")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps", ts(1)),
+        (2L, "the quick brown fox jumps", ts(2)), // exact dup of 1
+        (3L, "a completely different document", ts(3)))
+      q.processAllAvailable()
+      input.addData((4L, "the quick brown fox jumps", ts(5))) // dup again
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && ids.contains(3L), s"first occurrences survive: $ids")
+      assert(!ids.contains(2L) && !ids.contains(4L), s"in-horizon dups dropped: $ids")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user event counter") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
