@@ -95,8 +95,14 @@ object Dedup {
     // through every propagation round would multiply each round's shuffle
     // by corpus size for rows whose label can never change. Singletons are
     // attached after the fixpoint with one left join (rep = self).
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")))
+    // The FIRST neighbor-min round is fused into the seed: with identity
+    // labels it is simply min(neighbors ∪ self) — one agg over the edge
+    // list, no join — so clique-shaped dup groups (the common case)
+    // converge in a single confirming loop iteration.
+    var labels = truncate(
+      edges.select(col("src").as("id"), col("dst").as("lbl"))
+        .union(edges.select(col("src").as("id"), col("src").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl")))
     var changed = if (labels.isEmpty) 0L else 1L
     while (changed > 0) {
       // neighbor min: lbl'(v) = min(lbl(v), min over u~v of lbl(u))
