@@ -26,11 +26,8 @@ object Dedup {
         math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
   }
 
-  /** Widen an under-partitioned source to cluster parallelism before a
-    * CPU-heavy narrow signature/tokenize pass: a one-file parquet corpus
-    * otherwise runs the whole pass as a SINGLE task (profiled as
-    * consecutive 1-task multi-second stages on the sf0.1 documents table).
-    * A corpus already at cluster parallelism skips the shuffle. */
+  /** See [[graft.ParUtil.widen]] — every signature/tokenize entry point
+    * widens its source before the CPU-heavy narrow pass. */
   private def widen(df: DataFrame): DataFrame = graft.ParUtil.widen(df)
 
   /** Exact dedup on a key column: keeps the smallest id per key.
@@ -87,9 +84,13 @@ object Dedup {
     val nodeIds = nodes.select(col(idCol).as("nid"))
     val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val edges = edges0
+    // materialized ONCE (checkpoint-truncated): `pairs` is usually the
+    // lazy output of a whole near-dup pipeline (minhash signatures + band
+    // join for q51), and every loop round reads the edge list — without
+    // truncation each round would re-execute that entire upstream pipeline
+    val edges = truncate(edges0
       .join(nodeIds.withColumnRenamed("nid", "src"), Seq("src"), "left_semi")
-      .join(nodeIds.withColumnRenamed("nid", "dst"), Seq("dst"), "left_semi")
+      .join(nodeIds.withColumnRenamed("nid", "dst"), Seq("dst"), "left_semi"))
     // iterate ONLY over nodes that appear in a pair: in a dedup corpus the
     // overwhelming majority of documents are singletons, and carrying them
     // through every propagation round would multiply each round's shuffle
@@ -123,6 +124,7 @@ object Dedup {
       labels.unpersist(false)
       labels = next
     }
+    edges.unpersist(false) // final select reads only labels + nodes
     nodes.select(col(idCol))
       .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("rep_id"))
