@@ -409,6 +409,19 @@ object SparkEntry {
           col("dist2").cast("long").as("dist2"))
         .orderBy("query_id", "rnk")
     }),
+    "q53_ann_cosine" -> ((s, dir) => {
+      // the brute-force COSINE top-k baseline (the euclidean baseline is
+      // q22; on unnormalized vectors the orderings differ). cos is the
+      // exact-integer dot over the exact-integer norms in one fixed
+      // expression shape, so the doubles — and hence rank and hash — are
+      // engine-independent
+      reg(s)
+      val e = t(s, dir, "embeddings")
+      Ann.bruteTopKCosine(e, e.where(col("vec_id") % 60 === 0), k = 10)
+        .select(col("query_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          col("cos"))
+        .orderBy("query_id", "rnk")
+    }),
     "q51_dedup_groups" -> ((s, dir) => {
       // the last stage of a dedup pipeline: near-dup PAIRS (q23's portable
       // minhash machinery) collapsed into connected components, every doc
@@ -801,6 +814,19 @@ object SparkEntry {
       "q23_minhash_pairs" ->
         ("WITH " + minhashCtes +
           " SELECT id_a, id_b, agree64 FROM agree WHERE agree64 >= 32 ORDER BY id_a, id_b"),
+      "q53_ann_cosine" ->
+        ("WITH ev AS (SELECT vec_id, j, floor(CAST(embedding[j] AS DOUBLE) * 1000.0) AS x " +
+          "FROM embeddings, generate_series(1, 64) t(j)), " +
+          "n AS (SELECT vec_id, SUM(x * x) AS n2 FROM ev GROUP BY 1), " +
+          "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.x * c.x) AS dot " +
+          "FROM ev q JOIN ev c ON q.j = c.j AND q.vec_id % 60 = 0 AND q.vec_id <> c.vec_id GROUP BY 1, 2) " +
+          "SELECT query_id, vec_id, rnk, cos FROM " +
+          "(SELECT p.query_id, p.vec_id, p.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos, " +
+          "row_number() OVER (PARTITION BY p.query_id " +
+          "ORDER BY p.dot / (sqrt(nq.n2) * sqrt(nc.n2)) DESC, p.vec_id) AS rnk " +
+          "FROM pairs p JOIN n nq ON nq.vec_id = p.query_id JOIN n nc ON nc.vec_id = p.vec_id " +
+          "WHERE nq.n2 > 0 AND nc.n2 > 0) " +
+          "WHERE rnk <= 10 ORDER BY query_id, rnk"),
       "q51_dedup_groups" ->
         // connected components over the SAME portable minhash pairs as q23:
         // the oracle takes the recursive-CTE transitive closure and labels

@@ -62,6 +62,30 @@ object Ann {
       .select("query_id", "vec_id", "rnk", "dist2")
   }
 
+  /** Exact top-k by COSINE similarity — the brute-force cosine baseline
+    * (on L2-normalized embeddings this ordering coincides with
+    * [[bruteTopK]]'s euclidean one; on unnormalized vectors they differ,
+    * so both baselines ship). cos = dot / (sqrt(|q|^2) * sqrt(|v|^2)) over
+    * the quantized vectors: the dot and both norms are exact integers, so
+    * the IEEE result of this exact expression shape is bit-identical in
+    * any engine that evaluates the same text — rank and value are
+    * oracle-checkable (q53). Zero vectors have no cosine and are excluded
+    * on both sides. The approximate scale path for cosine is [[lshTopK]]
+    * (random-hyperplane LSH is the cosine family). */
+  def bruteTopKCosine(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = quantize(corpus, "vec_id", "v").withColumn("n_v", vec_norm2(col("v")))
+    val q = quantize(queries, "query_id", "qv").withColumn("n_q", vec_norm2(col("qv")))
+    val win = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("vec_id"))
+      .where(col("n_v") > 0 && col("n_q") > 0)
+      .withColumn("cos",
+        vec_dot(col("qv"), col("v")) / (sqrt(col("n_q")) * sqrt(col("n_v"))))
+      .withColumn("rnk", row_number().over(win))
+      .where(col("rnk") <= k)
+      .select("query_id", "vec_id", "rnk", "cos")
+  }
+
   /** LSH-bucketed top-k: exact re-rank inside candidate buckets. Recall is
     * tunable via nBits (fewer bits = bigger buckets = higher recall). The
     * per-row bucket hash is the codegen'd [[graft.functions.vecexprs.VecLshBucket]]
