@@ -121,10 +121,10 @@ object Dedup {
       changed = next.select(col("id"), col("lbl").as("nlbl"))
         .join(labels, "id")
         .where(col("nlbl") =!= col("lbl")).count()
-      labels.unpersist(false)
+      graft.ParUtil.freeCheckpoint(labels) // Dataset.unpersist is a no-op here
       labels = next
     }
-    edges.unpersist(false) // final select reads only labels + nodes
+    graft.ParUtil.freeCheckpoint(edges) // final select reads only labels + nodes
     nodes.select(col(idCol))
       .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("rep_id"))

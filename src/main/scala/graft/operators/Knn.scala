@@ -144,6 +144,10 @@ object Knn {
       // instead of doubling every round (left_anti chains otherwise nest)
       pending = truncate(pending.join(done, Seq("query_id"), "left_anti"))
       nPending = pending.count()
+      // NOTE deliberately NOT ParUtil.freeCheckpoint(prevPending): the
+      // finishedParts plans can recompute through the cached `ranked` back
+      // to this frame if a cache block is lost — its (queries-sized)
+      // checkpoint blocks are left to the ContextCleaner instead
       prevPending.unpersist(false)
       r *= 2
     }
