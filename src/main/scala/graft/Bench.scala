@@ -30,9 +30,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // measured passes (median reported); >1 makes the committed number a
-    // median-of-N with per-query spread instead of one retained sample
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt)
+    // measured passes (median reported). Default 3: two consecutive rounds
+    // the single-sample driver artifact misstated performance 2-6x through a
+    // host-contention window (r3 q38-q40, r4 q14+q47-q52) and had to be
+    // adjudicated by reproduction; a median-of-3 with a spread map makes the
+    // authoritative artifact self-certifying at ~2 extra minutes of bench.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -135,18 +138,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // per-query spread (max - min over the samples) documents run-to-run
-    // variance when runs > 1; extra keys are ignored by the driver parser
-    val spread =
-      if (runs <= 1) ""
-      else {
-        val sp = samples.map { case (k, v) =>
-          val ok = v.filter(_ >= 0)
-          "\"" + k + "\":" + f"${if (ok.isEmpty) -1.0 else ok.max - ok.min}%.3f"
-        }.mkString("{", ",", "}")
-        s""","runs":$runs,"spread":$sp"""
-      }
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipelineRps%.1f$spread}"""
+    // per-query spread (max - min over the successful samples) documents
+    // run-to-run variance; always emitted so the artifact certifies its own
+    // stability. Failed passes are excluded from median/spread but counted
+    // in "failures" (a query green 1-of-3 would otherwise report its single
+    // success with spread 0, hiding flakiness). Extra keys are ignored by
+    // the driver parser.
+    val sp = samples.map { case (k, v) =>
+      val ok = v.filter(_ >= 0)
+      "\"" + k + "\":" + f"${if (ok.isEmpty) -1.0 else ok.max - ok.min}%.3f"
+    }.mkString("{", ",", "}")
+    val failed = samples.collect { case (k, v) if v.exists(_ < 0) =>
+      "\"" + k + "\":" + v.count(_ < 0)
+    }.mkString("{", ",", "}")
+    val extra = s""","runs":$runs,"spread":$sp,"failures":$failed"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipelineRps%.1f$extra}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     catch { case _: Throwable => () }
     spark.stop()

@@ -97,16 +97,19 @@ object GraftFunctions {
     * registered (avoids per-query "function X replaced" warning spam).
     *
     * Note: Spark 4.1 ships an embryonic `expressions.st` package whose
-    * ST_GeomFromWKB collides with our `st_geomfromwkb`; the session-registry
-    * registration deliberately shadows it (one "replaced" log line per new
-    * session) because ours returns THIS engine's geometry struct, which the
-    * whole st_* family composes over. */
+    * ST_GeomFromWKB collides with our `st_geomfromwkb`; we deliberately
+    * shadow it because ours returns THIS engine's geometry struct, which the
+    * whole st_* family composes over. The builtin binding is dropped from
+    * the session clone first so the shadowing is silent (registerFunction
+    * over an existing name logs a "replaced" warning per session). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(FunctionIdentifier(registry.last._1))) return
     registry.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      reg.dropFunction(id)
       reg.registerFunction(
-        FunctionIdentifier(name),
+        id,
         new ExpressionInfo("graft.functions.exprs", name),
         builder)
     }

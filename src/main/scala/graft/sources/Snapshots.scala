@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,10 +11,21 @@ import org.apache.spark.sql.functions._
   * Parquet (no Iceberg jar ships in this environment — SURVEY.md §7.6):
   *
   *   table/
-  *     data/part_id=N/...parquet        -- one directory per logical partition
+  *     data/snap_id=S/part_id=N/...parquet  -- partitions written BY snapshot S
   *     _meta/snapshots/...parquet       -- snapshot_id, ts, operation, n_partitions
   *     _meta/partitions/...parquet      -- snapshot_id, part_id, row_count, lineage_hash
   *     _meta/CURRENT                    -- atomically-renamed pointer file
+  *
+  * Data files are immutable once their snapshot commits: snapshot S only
+  * writes under `data/snap_id=S`, and the table state AT any snapshot is
+  * resolved from the lineage table (for each part_id, the newest writer
+  * <= that snapshot). That is what buys Iceberg's two reader guarantees:
+  * time travel ([[readData]] `asOf`) and snapshot isolation (an in-flight
+  * snapshot's files are invisible until its manifest publishes and can
+  * never tear a concurrent read of the current snapshot, because nothing
+  * is rewritten in place). [[expireSnapshots]] prunes history like
+  * Iceberg's expire_snapshots: old manifests go away, data dirs survive
+  * exactly as long as some retained snapshot still resolves to them.
   *
   * Commit protocol: data + partition lineage are written first, then the
   * one-row manifest is PUBLISHED with an atomic no-replace rename (see
@@ -59,6 +72,12 @@ object Snapshots {
     * (idempotent resume). Returns per-partition metadata for the WHOLE
     * snapshot — previously committed partitions included — so every resume
     * path (fresh, partial, no-op) reports the same total row count.
+    *
+    * A completed snapshot records a lineage row for EVERY part in
+    * `0 until nParts` (0-row parts included), so at its own `nParts` width
+    * it REPLACES the table content; partitions >= nParts from an earlier
+    * wider snapshot shine through unchanged ([[readData]] resolves per-part
+    * winners). Pass a smaller nParts for a partial overwrite.
     *
     * `portableParts`: partition by `keyCol % nParts` on the (numeric) key
     * instead of Spark's murmur hash — lets an external SQL oracle recompute
@@ -107,11 +126,15 @@ object Snapshots {
     // per snapshot at 32 cores on tiny outputs). One file per partition,
     // deterministic layout. At 100 TB output scale, add a salt column to
     // the repartition key to widen write parallelism within a partition.
+    // The write lands under THIS snapshot's own dir (never touching earlier
+    // snapshots' files — that immutability is what makes asOf reads and
+    // snapshot isolation work); dynamic overwrite within it keeps the
+    // crash-resume rewrite of a partially-written partition safe.
     filtered.repartition(nParts, col("part_id"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part_id")
-      .parquet(s"$table/data")
+      .parquet(s"$table/data/snap_id=$snapshotId")
 
     // per-partition row counts + order-independent lineage hashes in one agg
     val stats = filtered
@@ -170,10 +193,17 @@ object Snapshots {
     if (Files.exists(target)) return
     // legacy tables (pre-CAS layout) appended part-*.parquet rows: honor
     // them so a resume on an old table does not duplicate the manifest row
+    // hidden entries (the persistent .manifest-<sid>.lock claim files, crashed
+    // .tmp dirs) are NOT legacy parts — counting them made a fresh table whose
+    // first commit crashed mid-publish probe an all-hidden snapshots dir with
+    // spark.read.parquet, which throws unable-to-infer-schema and wedged the
+    // documented crash-resume path
     val hasLegacyParts = Files.exists(snapDir) && {
       val s = Files.list(snapDir)
-      try s.anyMatch(p => !p.getFileName.toString.startsWith("manifest-"))
-      finally s.close()
+      try s.anyMatch { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("manifest-") && !n.startsWith(".")
+      } finally s.close()
     }
     if (hasLegacyParts &&
         !readSnapshots(spark, table).where(col("snapshot_id") === snapshotId).isEmpty) return
@@ -229,6 +259,126 @@ object Snapshots {
   def readPartitionMeta(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"${metaDir(table)}/partitions")
 
-  def readData(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(s"$table/data")
+  private def manifestPath(table: String, sid: Long): Path =
+    Paths.get(s"${metaDir(table)}/snapshots/manifest-$sid.parquet")
+
+  /** Table state at a snapshot: for each part_id, the files written by the
+    * NEWEST snapshot <= `asOf` that wrote that partition (resolved from the
+    * lineage table — metadata-scale work, nParts result rows). Defaults to
+    * the CURRENT snapshot; pass `asOf = Some(sid)` to time-travel to any
+    * still-retained snapshot. A snapshot whose winning lineage row counts 0
+    * rows for a partition hides all older data for it (overwrite-to-empty).
+    *
+    * Snapshot isolation falls out of the same resolution: an in-flight
+    * snapshot's `data/snap_id=S` dir is never selected until its manifest
+    * publishes and CURRENT advances, and nothing ever rewrites a committed
+    * snapshot's files under a reader. */
+  def readData(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val dataDir = s"$table/data"
+    // pre-r5 tables laid data out flat (data/part_id=N, overwritten in
+    // place): no snap_id dirs to resolve, read as-is
+    val hasSnapDirs = Files.isDirectory(Paths.get(dataDir)) && {
+      val s = Files.list(Paths.get(dataDir))
+      try s.anyMatch(_.getFileName.toString.startsWith("snap_id="))
+      finally s.close()
+    }
+    if (!hasSnapDirs) return spark.read.parquet(dataDir)
+    val sid = asOf.orElse(currentSnapshot(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    asOf.foreach { s =>
+      if (!Files.exists(manifestPath(table, s)))
+        throw new IllegalArgumentException(
+          s"snapshot $s of $table is not committed or has been expired")
+    }
+    // struct max = lexicographic on (snapshot_id, row_count); snapshot_id is
+    // unique per (snapshot, part) modulo crash-resume duplicates, which carry
+    // identical recomputed stats
+    val winners = readPartitionMeta(spark, table)
+      .where(col("snapshot_id") <= sid)
+      .groupBy("part_id")
+      .agg(max(struct(col("snapshot_id"), col("row_count"))).as("w"))
+      .select(col("part_id"), col("w.snapshot_id").as("sid"), col("w.row_count").as("rows"))
+      .where(col("rows") > 0)
+      .collect()
+    if (winners.isEmpty)
+      throw new IllegalArgumentException(
+        s"$table is empty at snapshot $sid (no partition has rows)")
+    val dirs = winners.map { r =>
+      s"$dataDir/snap_id=${r.getAs[Long]("sid")}/part_id=${r.getAs[Int]("part_id")}"
+    }
+    spark.read.option("basePath", dataDir).parquet(dirs.toIndexedSeq: _*).drop("snap_id")
+  }
+
+  /** Iceberg-style `expire_snapshots`: drop all but the newest `keepLast`
+    * committed snapshots. Expired manifests are deleted (time travel to
+    * them then refuses with a clear error) and an expired snapshot's data
+    * dirs are deleted EXCEPT partitions some retained snapshot still
+    * resolves to (a part last written by an old snapshot survives until a
+    * retained snapshot rewrites it — exactly Iceberg's
+    * still-referenced-files rule). Lineage rows are retained: winner
+    * resolution for live snapshots needs the expired writers' rows, and the
+    * lineage table is metadata-scale. Returns the expired snapshot ids. */
+  def expireSnapshots(spark: SparkSession, table: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
+    if (!Files.isDirectory(snapDir)) return Nil
+    val committed = {
+      val s = Files.list(snapDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("manifest-") && n.endsWith(".parquet") =>
+          n.stripPrefix("manifest-").stripSuffix(".parquet").toLong }
+        .toVector.sorted
+      finally s.close()
+    }
+    val expired = committed.dropRight(keepLast)
+    if (expired.isEmpty) return Nil
+    val rMin = committed(committed.size - keepLast) // oldest retained
+    // (S, P) with S expired stays on disk iff S is still the newest writer
+    // of P as of the oldest retained snapshot — then every retained
+    // snapshot's read of P resolves to S's file
+    val stillReferenced: Set[(Long, Int)] = readPartitionMeta(spark, table)
+      .where(col("snapshot_id") <= rMin)
+      .groupBy("part_id")
+      .agg(max(col("snapshot_id")).as("sid"))
+      .collect()
+      .map(r => (r.getAs[Long]("sid"), r.getAs[Int]("part_id")))
+      .filter { case (s, _) => s < rMin }
+      .toSet
+    // sweep every on-disk snapshot dir older than the oldest retained
+    // snapshot — including dirs a PREVIOUS expire left behind because they
+    // were still referenced then (their manifests are already gone, so the
+    // expired-id list alone would never revisit them)
+    val oldDirs = {
+      val dataDir = Paths.get(s"$table/data")
+      if (!Files.isDirectory(dataDir)) Vector.empty[Long]
+      else {
+        val l = Files.list(dataDir)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.startsWith("snap_id=") => n.stripPrefix("snap_id=").toLong }
+          .filter(_ < rMin).toVector
+        finally l.close()
+      }
+    }
+    oldDirs.foreach { s =>
+      val sDir = Paths.get(s"$table/data/snap_id=$s")
+      val parts = {
+        val l = Files.list(sDir)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part_id=")).toVector
+        finally l.close()
+      }
+      parts.foreach { pn =>
+        val pid = pn.stripPrefix("part_id=").toInt
+        if (!stillReferenced.contains((s, pid)))
+          graft.FsUtil.rmTree(sDir.resolve(pn).toString)
+      }
+      val nowEmpty = {
+        val l = Files.list(sDir)
+        try !l.iterator().hasNext finally l.close()
+      }
+      if (nowEmpty) graft.FsUtil.rmTree(sDir.toString)
+    }
+    expired.foreach(s => Files.deleteIfExists(manifestPath(table, s)))
+    expired
+  }
 }

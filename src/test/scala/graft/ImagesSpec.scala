@@ -180,6 +180,68 @@ class ImagesSpec extends SparkTestBase {
       .where(col("snapshot_id") === 1).count() == 1)
   }
 
+  test("time travel: asOf reads each snapshot exactly; expire keeps referenced files") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-tt").toString
+    val t = s"$dir/t"
+    def rows(n: Int, tag: String) = (1 to n).map(i => (i.toLong, s"$tag$i"))
+    def expect(want: Seq[(Long, String)], asOf: Option[Long]): Unit = {
+      val got = Snapshots.readData(spark, t, asOf).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == want.sorted, s"asOf=$asOf mismatch (${got.length} vs ${want.length} rows)")
+    }
+    // snap 1: 400 rows over 4 parts; snap 2: nParts=2 partial overwrite of
+    // parts 0-1; snap 3: full rewrite at nParts=4
+    Snapshots.writeSnapshot(spark, rows(400, "a").toDF("k", "v"), t,
+      snapshotId = 1L, nParts = 4, keyCol = "k", portableParts = true)
+    Snapshots.writeSnapshot(spark, rows(100, "b").toDF("k", "v"), t,
+      snapshotId = 2L, nParts = 2, keyCol = "k", portableParts = true)
+    Snapshots.writeSnapshot(spark, rows(200, "c").toDF("k", "v"), t,
+      snapshotId = 3L, nParts = 4, keyCol = "k", portableParts = true)
+    val at1 = rows(400, "a")
+    val at2 = rows(100, "b") ++ rows(400, "a").filter(r => r._1 % 4 >= 2)
+    val at3 = rows(200, "c")
+    expect(at3, None) // current
+    expect(at1, Some(1L))
+    expect(at2, Some(2L))
+    expect(at3, Some(3L))
+    intercept[IllegalArgumentException](Snapshots.readData(spark, t, Some(99L)))
+
+    // expire snapshot 1: time travel to it refuses, but its parts 2-3 files
+    // survive because snapshot 2 (retained) still resolves to them
+    assert(Snapshots.expireSnapshots(spark, t, keepLast = 2) == Seq(1L))
+    intercept[IllegalArgumentException](Snapshots.readData(spark, t, Some(1L)))
+    expect(at2, Some(2L))
+    expect(at3, None)
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    assert(!exists(s"$t/data/snap_id=1/part_id=0"), "unreferenced expired part deleted")
+    assert(exists(s"$t/data/snap_id=1/part_id=2"), "still-referenced expired part retained")
+
+    // expire snapshot 2 as well: snapshot 3 covers every part, so nothing
+    // old stays referenced and both old snapshot dirs disappear entirely
+    assert(Snapshots.expireSnapshots(spark, t, keepLast = 1) == Seq(2L))
+    expect(at3, None)
+    assert(!exists(s"$t/data/snap_id=1") && !exists(s"$t/data/snap_id=2"))
+    assert(Snapshots.expireSnapshots(spark, t, keepLast = 1).isEmpty)
+  }
+
+  test("resume completes a first commit that crashed between lock and publish") {
+    // regression: a snapshots dir holding ONLY hidden entries (the claim
+    // lock, a crashed .tmp dir) was counted as legacy manifest parts, and
+    // the resume probed it with spark.read.parquet -> unable-to-infer-schema
+    val dir = java.nio.file.Files.createTempDirectory("snap-crash").toString
+    val t = s"$dir/t"
+    val snapDir = java.nio.file.Paths.get(s"$t/_meta/snapshots")
+    java.nio.file.Files.createDirectories(snapDir)
+    java.nio.file.Files.createFile(snapDir.resolve(".manifest-1.lock"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$t/_meta/.tmp-manifest-1-deadbeef"))
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val m = Snapshots.writeSnapshot(spark, df, t, snapshotId = 1L, nParts = 2, keyCol = "k")
+    assert(m.map(_.rowCount).sum == 100)
+    assert(Snapshots.currentSnapshot(t).contains(1L))
+    assert(Snapshots.readSnapshots(spark, t).where(col("snapshot_id") === 1).count() == 1)
+  }
+
   test("concurrent committers: manifest publish has exactly one winner") {
     // the commit point is an atomic no-replace rename of a one-row parquet
     // file: two racing committers (and two racing writeSnapshot calls over
