@@ -445,6 +445,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
+    "q54_decontamination" -> ((s, dir) => {
+      // benchmark decontamination: flag every corpus doc sharing an exact
+      // word 13-gram with an eval-set doc (the standard train/test-overlap
+      // protocol). The eval set here is a deterministic slice of the corpus
+      // (doc_id % 97 == 0) so the oracle can rebuild it; grams are the
+      // portable md5 hashes the oracle recomputes verbatim.
+      reg(s)
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      Dedup.contaminationPairs(docs, "doc_id", "text", evalSet, "eval_id", "text", n = 13)
+        .orderBy("doc_id", "eval_id")
+    }),
     "q50_ann_lsh" -> ((s, dir) => {
       // the probabilistic ANN variant, oracle-pinned in its PROVABLE-recall
       // regime: nBits = 1 with hamming-1 multi-probe spans the entire code
@@ -811,6 +824,19 @@ object SparkEntry {
           "JOIN g b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
           "SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
           "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8 ORDER BY id_a, id_b"),
+      "q54_decontamination" ->
+        // word 13-grams via shingle semantics: whitespace tokens, windows
+        // joined with ' ', whole token list as the single gram when a doc
+        // has fewer than 13 tokens, zero-token docs contribute nothing
+        ("WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS ts FROM documents), " +
+          "g AS (SELECT doc_id, unnest(list_distinct(" +
+          "[CAST('0x' || substr(md5(CASE WHEN len(ts) < 13 THEN array_to_string(ts, ' ') " +
+          "ELSE array_to_string(list_slice(ts, CAST(i AS INTEGER), CAST(i AS INTEGER) + 12), ' ') END), 1, 15) AS BIGINT) " +
+          "FOR i IN range(1, CAST(greatest(len(ts) - 12, 1) AS INTEGER) + 1)])) AS gram " +
+          "FROM tk WHERE len(ts) > 0) " +
+          "SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared_grams " +
+          "FROM g c JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) e USING (gram) " +
+          "GROUP BY 1, 2 ORDER BY 1, 2"),
       "q23_minhash_pairs" ->
         ("WITH " + minhashCtes +
           " SELECT id_a, id_b, agree64 FROM agree WHERE agree64 >= 32 ORDER BY id_a, id_b"),

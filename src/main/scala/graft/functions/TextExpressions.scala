@@ -55,6 +55,28 @@ object textexprs {
     r
   }
 
+  /** Char offsets of each code-point start, plus the end: offsets(i) is the
+    * UTF-16 index where code point i begins, offsets(count) = s.length.
+    * Identity (offsets(i) == i) when the string has no surrogate pairs —
+    * the overwhelmingly common case pays one scan, no allocation beyond the
+    * array. Used by the character-gram kernels so their grams count CODE
+    * POINTS, matching SQL substr/length semantics (DuckDB, the oracle side,
+    * counts code points; Java String.substring counts UTF-16 units — on a
+    * non-BMP character, e.g. any emoji, the two diverge). */
+  def codePointOffsets(s: String): Array[Int] = {
+    val n = s.length
+    val out = new Array[Int](s.codePointCount(0, n) + 1)
+    var ci = 0
+    var cp = 0
+    while (ci < n) {
+      out(cp) = ci
+      ci += Character.charCount(s.codePointAt(ci))
+      cp += 1
+    }
+    out(cp) = n
+    out
+  }
+
   /** Word w-shingles of a whitespace-tokenized text. Zero-token (empty or
     * whitespace-only) text yields NO shingles — a degenerate doc must not
     * acquire a real signature, or two empty docs would be reported as
@@ -180,11 +202,15 @@ object textexprs {
     override protected def nullSafeEval(text: Any, kAny: Any): Any = {
       val s = text.asInstanceOf[UTF8String].toString
       val k = kAny.asInstanceOf[Int]
-      if (s.length < k) return portableHash60(s)
+      // grams count CODE POINTS (codePointOffsets) so the SQL-substr oracle
+      // reproduces them on non-BMP input too
+      val off = codePointOffsets(s)
+      val cps = off.length - 1
+      if (cps < k) return portableHash60(s)
       var minH = Long.MaxValue
       var i = 0
-      while (i + k <= s.length) {
-        val h = portableHash60(s.substring(i, i + k))
+      while (i + k <= cps) {
+        val h = portableHash60(s.substring(off(i), off(i + k)))
         if (h < minH) minH = h
         i += 1
       }
@@ -218,11 +244,15 @@ object textexprs {
     override protected def nullSafeEval(t: Any, n0: Any): Any = {
       val s = t.asInstanceOf[UTF8String].toString
       val n = math.max(1, n0.asInstanceOf[Int])
-      val m = math.max(s.length - n + 1, 1)
+      // grams count CODE POINTS (codePointOffsets) so the SQL-substr oracle
+      // reproduces them on non-BMP input too
+      val off = codePointOffsets(s)
+      val cps = off.length - 1
+      val m = math.max(cps - n + 1, 1)
       val out = new Array[Long](m)
       var i = 0
       while (i < m) {
-        out(i) = portableHash60(s.substring(i, math.min(i + n, s.length)))
+        out(i) = portableHash60(s.substring(off(i), off(math.min(i + n, cps))))
         i += 1
       }
       java.util.Arrays.sort(out)
@@ -238,6 +268,91 @@ object textexprs {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramHashSet =
       copy(left = l, right = r)
     override def prettyName: String = "ngram_hash_set"
+  }
+
+  /** word_ngram_hash_set(text, n): SORTED, duplicate-free [[portableHash60]]
+    * hashes of every WORD n-gram — [[shingles]] semantics: whitespace
+    * tokenization, windows joined with a single space, a doc shorter than n
+    * tokens contributing its whole token sequence as the single gram, and a
+    * ZERO-token doc contributing NO grams (an empty doc must not overlap
+    * every other empty doc). The standard exact-overlap unit of benchmark
+    * decontamination (n = 13 in the common train/test-overlap protocol);
+    * the oracle reproduces each gram as
+    * `array_to_string(list_slice(tokens, i, i + n - 1), ' ')` and hashes it
+    * with the portable md5 formula. */
+  case class WordNgramHashSet(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes = Seq(StringType, IntegerType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(t: Any, n0: Any): Any = {
+      val sh = shingles(t.asInstanceOf[UTF8String].toString,
+        math.max(1, n0.asInstanceOf[Int]))
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { out(i) = portableHash60(sh(i)); i += 1 }
+      java.util.Arrays.sort(out)
+      var w = 0
+      var r = 0
+      while (r < out.length) {
+        if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+        r += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): WordNgramHashSet =
+      copy(left = l, right = r)
+    override def prettyName: String = "word_ngram_hash_set"
+  }
+
+  /** minhash_set(arr, n): MinHash signature of an ELEMENT SET (vs [[MinHash]],
+    * which re-shingles raw text). The permutation family is
+    * `mix64(base ^ seed_j)` — a full-avalanche 64-bit bijection per row, so
+    * the n agreement trials are effectively independent and the agreement
+    * rate tracks set Jaccard tightly. (Deliberately NOT [[MinHash]]'s
+    * SQL-portable affine family: with 60-bit inputs against the 2^61-1
+    * modulus and small multipliers, those permutations barely wrap and are
+    * nearly order-preserving — all rows then agree or disagree together,
+    * which is unusable for banding. This kernel backs only the
+    * candidate-explosion breaker in [[graft.operators.Dedup]]'s prefix
+    * plan, where candidates are re-verified exactly, so no oracle ever
+    * needs to recompute it.) Elements: array<bigint> values are used as
+    * base hashes directly (the [[NgramHashSet]] / [[WordNgramHashSet]]
+    * outputs are already [[portableHash60]] hashes); array<string> elements
+    * are [[portableHash60]]-hashed first. Empty set -> null (no signature),
+    * mirroring [[MinHash]] on token-less text. */
+  case class MinHashSet(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val stringElems: Boolean = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    override protected def nullSafeEval(arrAny: Any, nAny: Any): Any = {
+      val arr = arrAny.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m == 0) return null
+      val n = nAny.asInstanceOf[Int]
+      val sig = Array.fill(n)(Long.MaxValue)
+      var i = 0
+      while (i < m) {
+        val base =
+          if (stringElems) portableHash60(arr.getUTF8String(i).toString)
+          else arr.getLong(i)
+        var j = 0
+        while (j < n) {
+          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(sig)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSet =
+      copy(left = l, right = r)
+    override def prettyName: String = "minhash_set"
   }
 
   case class LangId(child: Expression)

@@ -148,8 +148,10 @@ object Ann {
     *     probes only). Since assignment is a partition, each (query,
     *     candidate) pair appears once: no dedup shuffle.
     *
-    * Scale shape: the only broadcasts are the capped centroid frame (query
-    * side) and the per-query probe lists; the corpus-side assignment is ONE
+    * Scale shape: the broadcasts are the capped centroid frame, the
+    * per-query probe lists, and the quantized QUERY frame itself (see
+    * [[ivfSearchWithHandle]] — queries must be the small side; split huge
+    * batches, top-k composes per query); the corpus-side assignment is ONE
     * narrow kernel pass whose result is persisted (MEMORY_AND_DISK) so the
     * d_k and phase-2 subtrees reuse it instead of recomputing it per
     * consumer (the round-3 5x-re-execution smell); the probe join is a
@@ -244,9 +246,18 @@ object Ann {
   /** EXACT top-k against a prebuilt [[writeIvfIndex]] index — identical
     * output to [[ivfTopK]]/[[bruteTopK]], but the per-call cost is search
     * only (the parquet index IS the materialization; nothing is persisted
-    * here). */
+    * here by default).
+    *
+    * `cacheQueryDists = true` is the huge-query-batch mode: the |q| x C
+    * query-centroid distance frame is persisted so both probe phases pay
+    * the centroid kernel ONCE, the result is materialized eagerly
+    * (localCheckpoint), and the cache is dropped before returning — so the
+    * no-cache-to-manage service contract still holds (nothing stays in the
+    * CacheManager), at the cost of the result being computed at call time
+    * rather than lazily. Free the returned frame's blocks with
+    * [[graft.ParUtil.freeCheckpoint]] when done. */
   def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
-                     nProbe: Int = 4): DataFrame = {
+                     nProbe: Int = 4, cacheQueryDists: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val assigned = spark.read.parquet(s"$indexPath/assigned")
     val cells = spark.read.parquet(s"$indexPath/cells")
@@ -256,20 +267,44 @@ object Ann {
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "vec_id", "rnk", "dist2")
     }
-    // persistQc = false: the indexed path promises NO cache to manage —
-    // a long-lived service calling this per batch must not accumulate one
-    // pinned RDD per call. The two probe phases recompute the (skinny,
-    // narrow) |q| x C distance frame instead.
-    ivfSearch(queries, assigned, cells, centsDf, k, nProbe, persistQc = false)
+    if (!cacheQueryDists)
+      // lazy plan, zero session cache: the two probe phases recompute the
+      // (skinny, narrow) |q| x C distance frame — right default for a
+      // long-lived service that must not accumulate one pinned RDD per call
+      ivfSearch(queries, assigned, cells, centsDf, k, nProbe, persistQc = false)
+    else {
+      val (plan, qc) = ivfSearchWithHandle(queries, assigned, cells, centsDf,
+        k, nProbe, persistQc = true)
+      val eager = plan.localCheckpoint(true) // materialize while qc is hot
+      qc.foreach(_.unpersist(false))
+      eager
+    }
   }
 
   /** The two-phase triangle-inequality search shared by [[ivfTopK]] and
-    * [[ivfTopKIndexed]]. `assigned(vec_id, v, n_v, cell, dc)` must be a
-    * PARTITION of the corpus; `cells(cell, rc)` its radii; `centsDf
-    * (cent_id, cv)` the centroid vectors (capped, hence broadcastable). */
+    * [[ivfTopKIndexed]] (thin wrapper dropping the cache handle). */
   private def ivfSearch(queries: DataFrame, assigned: DataFrame, cells: DataFrame,
                         centsDf: DataFrame, k: Int, nProbe: Int,
-                        persistQc: Boolean): DataFrame = {
+                        persistQc: Boolean): DataFrame =
+    ivfSearchWithHandle(queries, assigned, cells, centsDf, k, nProbe, persistQc)._1
+
+  /** Search internals: `assigned(vec_id, v, n_v, cell, dc)` must be a
+    * PARTITION of the corpus; `cells(cell, rc)` its radii; `centsDf
+    * (cent_id, cv)` the centroid vectors (capped, hence broadcastable).
+    * Returns the result plan plus the persisted |q| x C frame (when
+    * `persistQc`) so a caller that eagerly materializes the result can
+    * unpersist it instead of leaving it to the session CacheManager.
+    *
+    * Broadcast inventory (the scale contract): the capped centroid frame,
+    * the per-query probe lists, AND the quantized query frame itself
+    * (ids + vectors, into both rankMembers joins) — so QUERIES MUST BE THE
+    * SMALL SIDE, which is the ANN service shape (query batches of 10^3-10^6
+    * against a corpus of 10^9+). A query batch too big to broadcast should
+    * be split into chunks by the caller — chunking composes exactly (top-k
+    * per query is independent across queries). */
+  private def ivfSearchWithHandle(queries: DataFrame, assigned: DataFrame, cells: DataFrame,
+                                  centsDf: DataFrame, k: Int, nProbe: Int,
+                                  persistQc: Boolean): (DataFrame, Option[DataFrame]) = {
     // query-to-centroid distances (|q| x C, C capped): skinny rows; both
     // probe phases read them, so the in-session path persists (held by the
     // CacheManager until the caller clears it — see ivfTopK's lifecycle
@@ -308,7 +343,8 @@ object Ann {
       .join(dk, Seq("query_id"), "left")
       .where(col("dk").isNull || (col("dqc") - col("rc") <= col("dk") + lit(1e-6)))
       .select("query_id", "cent_id")
-    rankMembers(probes2).select("query_id", "vec_id", "rnk", "dist2")
+    (rankMembers(probes2).select("query_id", "vec_id", "rnk", "dist2"),
+      if (persistQc) Some(qc) else None)
   }
 
   /** Embedding-cosine near-duplicate pairs (quantized, exact arithmetic):

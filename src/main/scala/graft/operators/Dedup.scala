@@ -132,7 +132,12 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate candidate pairs above a Jaccard estimate
     * threshold: shingle -> minhash signature -> band-bucket join -> verify
-    * with the signature agreement rate (unbiased Jaccard estimator).
+    * with the signature agreement rate (marginally unbiased Jaccard
+    * estimator; note the SQL-portable affine permutation family trades
+    * statistical independence across rows for oracle reproducibility — the
+    * rows are correlated, so `est_jaccard` is coarser than an ideal
+    * 64-trial estimate; [[graft.functions.textexprs.MinHashSet]] is the
+    * independent-family variant where no oracle has to recompute it).
     *
     * Scale shape: explode by `bands` band keys, self-join on (band, bucket)
     * — only colliding docs meet; signature verify is a zip-compare, no
@@ -233,8 +238,16 @@ object Dedup {
     * Goes straight to the PPJoin prefix plan (an n-gram vocabulary is
     * never <= 64). For web-scale fuzzy matching use [[minhashPairs]]
     * (LSH-bounded candidates); exact n-gram Jaccard is the verifier tier. */
+  /** `maxCandidatePairs > 0` arms the candidate-explosion circuit breaker
+    * (see [[prefixPlan]]): template-heavy corpora defeat prefix filtering
+    * (every doc shares mid-frequency grams with every other), degenerating
+    * the exact plan toward an all-pairs verify; past the bound, candidates
+    * come from a minhash band join instead (bounded by true similarity, not
+    * gram sharing) at a documented near-1-but-not-provably-1 recall. The
+    * default 0 keeps the plan fully exact. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 12, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 12, threshold: Double = 0.8,
+                        maxCandidatePairs: Long = 0L): DataFrame = {
     require(n >= 1, "ngramJaccardPairs needs n >= 1")
     // ngram_hash_set: one narrow kernel pass producing the sorted distinct
     // hash set directly (replaces a sequence/transform/md5-hex/conv/
@@ -243,7 +256,7 @@ object Dedup {
     val grams = widen(df).select(col(idCol).as("id"),
         ngram_hash_set(col(textCol), n).as("toks"))
       .withColumn("sz", size(col("toks")))
-    jaccardPairsPrefixSortedLongs(grams, threshold)
+    jaccardPairsPrefixSortedLongs(grams, threshold, maxCandidatePairs)
   }
 
   /** Shared dispatch: one bounded vocabulary probe (<= 65 rows collected)
@@ -342,6 +355,47 @@ object Dedup {
     same.unionByName(cross)
   }
 
+  /** Benchmark decontamination — the standard train/test-overlap check a
+    * real curation pipeline runs before training: flag every corpus
+    * document sharing at least one exact word n-gram (default n = 13, the
+    * common protocol) with any document of an evaluation set. Returns one
+    * row per contaminated (corpus doc, eval doc) pair with the count of
+    * distinct shared grams; feed it to review, or use [[decontaminate]] to
+    * drop flagged corpus rows outright.
+    *
+    * Scale shape: the eval side is small BY NATURE (benchmarks are
+    * thousands of docs, the corpus is billions), so its distinct gram
+    * hashes are broadcast and the corpus side pays exactly one narrow
+    * gram-kernel pass + a broadcast semi-ish join — the 100 TB corpus is
+    * never shuffled on raw text, and the only shuffle carries surviving
+    * (id, eval_id) hits, which are rare by construction. Grams are the
+    * portable 60-bit md5 hashes ([[graft.functions.textexprs.portableHash60]]),
+    * so a SQL oracle recomputes the whole check verbatim (q54). */
+  def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
+                         evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+                         n: Int = 13): DataFrame = {
+    require(n >= 1, "contaminationPairs needs n >= 1")
+    val evalGrams = widen(evalSet).select(col(evalIdCol).as("eval_id"),
+      explode(word_ngram_hash_set(col(evalTextCol), n)).as("gram"))
+    val corpusGrams = widen(corpus).select(col(idCol).as(idCol),
+      explode(word_ngram_hash_set(col(textCol), n)).as("gram"))
+    // per-doc gram sets are already distinct (kernel contract), so the
+    // count after the gram equijoin is exactly |grams(doc) ∩ grams(eval)|
+    corpusGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(idCol, "eval_id").agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Drop every corpus row flagged by [[contaminationPairs]] (any shared
+    * exact word n-gram with any eval doc). One anti-join on the flagged id
+    * set — the corpus passes through otherwise untouched. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+                    n: Int = 13): DataFrame = {
+    val flagged = contaminationPairs(corpus, idCol, textCol,
+      evalSet, evalIdCol, evalTextCol, n).select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** PPJoin-style prefix-filtered plan (general vocabularies —
     * Bayardo et al. WWW'07, Vernica et al. SIGMOD'10 for the MapReduce
     * shape). Provably the same output as the naive all-token join, at a
@@ -372,20 +426,66 @@ object Dedup {
     * [[ngramJaccardPairs]], whose hashed gram sets satisfy the contract;
     * on near-all-pairs candidate sets the per-pair hash-set allocation of
     * `array_intersect` was the dominant stage cost (~2x the whole query). */
-  private[graft] def jaccardPairsPrefixSortedLongs(toks: DataFrame, threshold: Double): DataFrame =
-    prefixPlan(toks, threshold, sortedLongs = true)
+  private[graft] def jaccardPairsPrefixSortedLongs(toks: DataFrame, threshold: Double,
+                                                   maxCandidatePairs: Long = 0L): DataFrame =
+    prefixPlan(toks, threshold, sortedLongs = true, maxCandidatePairs)
 
-  private def prefixPlan(toks0: DataFrame, threshold: Double, sortedLongs: Boolean): DataFrame = {
+  /** Prefix-index fan-out estimate: sum over indexed prefix tokens of
+    * d*(d-1)/2 (d = docs indexing the token) — an upper bound on the
+    * candidate pairs the prefix self-join can emit, in ONE cheap agg over
+    * the (id, tok) prefix frame. */
+  private[graft] def prefixFanout(prefix: DataFrame): Long =
+    prefix.groupBy("tok").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - lit(1))), lit(0L)).as("f"))
+      .first().getLong(0) / 2
+
+  /** Breaker candidate route: minhash band join over the element SETS
+    * ([[graft.functions.textexprs.MinHashSet]] — equal sets get equal
+    * signatures). Candidate volume is bounded by TRUE pairwise similarity
+    * (band collisions), not by gram co-occurrence, which is what makes it
+    * immune to the template-corpus explosion. Banding is threshold-adaptive
+    * (`bands = 0`): rows-per-band r is the largest power-of-2 divisor
+    * keeping recall 1 - (1 - t^r)^(n/r) >= 0.98 at J = t — longer bands
+    * suppress the sub-threshold collisions a template corpus is full of,
+    * which is the entire point of the breaker. Recall is near 1, NOT
+    * provably 1 (exact-pair duplicates always collide — equal sets, equal
+    * signatures); the exact prefix route stays the default and this route
+    * only arms past `maxCandidatePairs`. */
+  private[graft] def bandCandidates(toks: DataFrame, threshold: Double,
+                                    numHashes: Int = 64, bands: Int = 0): DataFrame = {
+    val nBands =
+      if (bands > 0) bands
+      else {
+        val r = Seq(32, 16, 8, 4, 2, 1).find { r =>
+          val b = math.max(1, numHashes / r)
+          1.0 - math.pow(1.0 - math.pow(threshold, r), b.toDouble) >= 0.98
+        }.getOrElse(1)
+        math.max(1, numHashes / r)
+      }
+    val sigs = toks
+      .select(col("id"), col("sz"),
+        posexplode(lsh_bands(minhash_set(col("toks"), numHashes), nBands))
+          .as(Seq("band_idx", "bucket")))
+    val a = sigs.select(col("id").as("id_a"), col("sz").as("sz_a"), col("band_idx"), col("bucket"))
+    val b = sigs.select(col("id").as("id_b"), col("sz").as("sz_b"), col("band_idx"), col("bucket"))
+    a.join(b, Seq("band_idx", "bucket"))
+      .where(col("id_a") < col("id_b") &&
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")) <=
+          least(col("sz_a"), col("sz_b")).cast("double"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The per-doc prefix inverted index of [[prefixPlan]] step 1-2 (one row
+    * per (id, indexed prefix token), with the doc size). Factored out so
+    * the fan-out estimate and tests see exactly the frame the candidate
+    * join runs over. */
+  private[graft] def prefixIndex(toks: DataFrame, threshold: Double): DataFrame = {
     val c = threshold / (1.0 + threshold)
-    // the tokenize/gram subtree feeds THREE consumers (the inverted index
-    // and both sides of the verify join) — persist it once, same lifecycle
-    // contract as jaccardPairsDict's mask cache (held by the CacheManager
-    // until the caller clears it; see that docstring)
-    val toks = toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
     val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc prefix in global (df, tok) order
-    val prefix = inv.join(dfreq, "tok")
+    inv.join(dfreq, "tok")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("sorted"))
       .withColumn("sz", size(col("sorted")))
@@ -396,12 +496,32 @@ object Dedup {
       .withColumn("plen", (col("sz") - ceil(lit(c) * col("sz") - lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("sz"),
         explode(expr("transform(slice(sorted, 1, plen), s -> s.tok)")).as("tok"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          lit(threshold) * greatest(col("a.sz"), col("b.sz")) <=
-            least(col("a.sz"), col("b.sz")).cast("double"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+  }
+
+  private def prefixPlan(toks0: DataFrame, threshold: Double, sortedLongs: Boolean,
+                         maxCandidatePairs: Long = 0L): DataFrame = {
+    // the tokenize/gram subtree feeds THREE consumers (the inverted index
+    // and both sides of the verify join) — persist it once, same lifecycle
+    // contract as jaccardPairsDict's mask cache (held by the CacheManager
+    // until the caller clears it; see that docstring)
+    val toks = toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = prefixIndex(toks, threshold)
+    // circuit breaker (armed by maxCandidatePairs > 0): when the prefix
+    // index's own fan-out estimate says the candidate join degenerates
+    // toward all-pairs (template corpora), generate candidates from the
+    // minhash band join instead — the exact verify below is shared by both
+    // routes, only candidate GENERATION changes
+    val usePrefix =
+      maxCandidatePairs <= 0L || prefixFanout(prefix) <= maxCandidatePairs
+    val cand =
+      if (usePrefix)
+        prefix.as("a").join(prefix.as("b"),
+            col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+              lit(threshold) * greatest(col("a.sz"), col("b.sz")) <=
+                least(col("a.sz"), col("b.sz")).cast("double"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      else bandCandidates(toks, threshold)
     // exact verify on the full token sets
     val full = toks.select(col("id"), col("toks"), col("sz"))
     cand

@@ -37,6 +37,41 @@ class KernelSpec extends SparkTestBase {
     }
   }
 
+  test("char-gram kernels count CODE POINTS, matching SQL substr on non-BMP text") {
+    // U+1F600 is a surrogate PAIR in UTF-16: a code-unit-based kernel would
+    // split it and hash garbage half-grams the SQL oracle never produces
+    val emoji = new String(Character.toChars(0x1F600))
+    val s = s"ab${emoji}cd${emoji}e"
+    def cpGrams(s: String, n: Int): Seq[String] = {
+      val cps = s.codePoints().toArray
+      if (cps.length <= n) Seq(s)
+      else (0 to cps.length - n).map(i => new String(cps, i, n))
+    }
+    for (n <- Seq(1, 2, 3, 7)) {
+      val got = Seq(s).toDF("t").select(ngram_hash_set($"t", n))
+        .collect()(0).getSeq[Long](0)
+      val want = cpGrams(s, n).map(textexprs.portableHash60).distinct.sorted
+      assert(got == want, s"n=$n")
+      val gotFp = Seq(s).toDF("t").select(doc_fingerprint($"t", n))
+        .collect()(0).getLong(0)
+      assert(gotFp == cpGrams(s, n).map(textexprs.portableHash60).min, s"fp n=$n")
+    }
+  }
+
+  test("word_ngram_hash_set == sorted distinct portableHash60 over word shingles") {
+    def naive(s: String, n: Int): Seq[Long] =
+      textexprs.shingles(s, n).map(textexprs.portableHash60).distinct.sorted.toSeq
+    for (n <- Seq(1, 2, 5, 13)) {
+      val texts = Seq.fill(40)(randomText(60)) :+ "" :+ "  " :+ "solo" :+
+        (1 to 20).map(i => s"t$i").mkString(" ")
+      val got = texts.toDF("t").select(word_ngram_hash_set($"t", n))
+        .collect().map(_.getSeq[Long](0))
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == naive(t, n), s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("sorted_inter_count == intersection size on sorted distinct long arrays") {
     val cases = Seq.fill(80) {
       val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted

@@ -190,6 +190,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.contains((5L, 6L)), "empty texts are exact duplicates of each other")
   }
 
+  test("candidate-explosion breaker: bounded candidates, same pairs on a template corpus") {
+    // pathological for prefix filtering: every doc is the same template with
+    // one word swapped, so mid-frequency grams put every doc in every other
+    // doc's candidate list, but true gram Jaccard stays BELOW threshold for
+    // non-planted pairs. Planted exact duplicates are the only true pairs.
+    // every doc is a PERMUTATION of the same 30 two-word phrases (words =
+    // distinct random letters, so no shared prefixes across junctions):
+    // phrase-interior grams appear in EVERY doc (flat df = n — the prefix
+    // index can't avoid them and its fan-out estimate explodes), while two
+    // permutations share almost no phrase ADJACENCIES, so boundary grams
+    // differ and true gram Jaccard stays far below the 0.9 threshold
+    def word(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val phrases = (1 to 30).map(k => s"${word(2 * k)} ${word(2 * k + 1)}")
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, new scala.util.Random(i).shuffle(phrases).mkString(" "))
+    } ++ Seq(100L, 101L, 102L).map(id => (id, phrases.mkString(" "))))
+      .toDF("doc_id", "text")
+    def run(guard: Long) = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 12, threshold = 0.9, maxCandidatePairs = guard)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = run(0L)
+    assert(exact == Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    val grams = docs.select(col("doc_id").as("id"),
+        ngram_hash_set(col("text"), 12).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    // the prefix route's own fan-out estimate trips any reasonable bound...
+    assert(Dedup.prefixFanout(Dedup.prefixIndex(grams, 0.9)) > 1000L)
+    // ...while band-route candidate volume tracks TRUE similarity: the
+    // planted dup trio (plus at most a stray sub-threshold collision)
+    val bandCand = Dedup.bandCandidates(grams, 0.9).count()
+    assert(bandCand <= 10, s"band candidates must stay bounded, got $bandCand")
+    // armed breaker: same output, through the bounded candidate route
+    assert(run(1000L) == exact)
+    spark.catalog.clearCache() // prefixPlan persists its token subtree
+  }
+
   test("ANN LSH top-k achieves high recall vs brute force") {
     // clustered embeddings (LSH's applicability regime): 20 centers + noise
     val rnd = new scala.util.Random(5)
@@ -278,6 +317,22 @@ class OperatorsSpec extends SparkTestBase {
     // empty corpus -> empty-but-readable index -> zero neighbors, no crash
     Ann.writeIvfIndex(vecs.where($"vec_id" < 0), s"$dir/empty")
     assert(Ann.ivfTopKIndexed(vecs.limit(2), s"$dir/empty", k = 3).count() == 0)
+
+    // huge-batch mode: cacheQueryDists pays the centroid kernel once and
+    // must (a) return identical rows and (b) leave NOTHING in the session
+    // CacheManager (the no-cache-to-manage service contract)
+    spark.catalog.clearCache()
+    val queries = vecs.where($"vec_id" % 40 === 0)
+    val cached = Ann.ivfTopKIndexed(queries, s"$dir/idx", k = 6, nProbe = 2,
+      cacheQueryDists = true)
+    val want = Ann.ivfTopKIndexed(queries, s"$dir/idx", k = 6, nProbe = 2)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cacheQueryDists must drop its cache before returning")
+    val gotCached = cached.select("query_id", "vec_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotCached == want && gotCached.nonEmpty)
+    graft.ParUtil.freeCheckpoint(cached)
   }
 
   test("blocked theta-joins: output invariant across block counts (incl. auto)") {
@@ -331,6 +386,41 @@ class OperatorsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(dirty == Map(5L -> 5L, 6L -> 5L),
       s"foreign-id pairs must be dropped, got $dirty")
+  }
+
+  test("decontamination flags exactly the docs sharing a word 13-gram with the eval set") {
+    // 13 words the contaminated corpus docs embed verbatim; clean docs
+    // share VOCABULARY with the eval set but never 13 consecutive words
+    val evalSeq = (1 to 13).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"intro text then $evalSeq and a tail"),      // embeds the gram mid-doc
+      (2L, evalSeq),                                     // exactly the eval doc
+      (3L, (1 to 13).map(i => s"w${14 - i}").mkString(" ")), // same words, reversed
+      (4L, "completely unrelated content here"),
+      (5L, (1 to 12).map(i => s"w$i").mkString(" ")),    // 12-word prefix only
+      (6L, "")                                           // zero tokens: never flagged
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalSeq), (101L, "short eval probe")).toDF("eval_id", "text")
+    val pairs = Dedup.contaminationPairs(corpus, "doc_id", "text",
+      evalSet, "eval_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 contains the full window (1 shared gram of its 8 windows);
+    // doc 2 IS the window. Reversed/shorter/unrelated docs share nothing.
+    assert(pairs == Set((1L, 100L, 1L), (2L, 100L, 1L)))
+    // eval doc 101 is SHORTER than 13 tokens: its whole text is its one
+    // gram, so only a doc containing that exact token sequence as a
+    // whole-doc gram (or window) can match — none here
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text",
+      evalSet, "eval_id", "text", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L, 4L, 5L, 6L))
+    // short-eval matching does work when the exact sequence appears: a
+    // corpus doc equal to the short eval doc is flagged
+    val c2 = Seq((7L, "short eval probe")).toDF("doc_id", "text")
+    val p2 = Dedup.contaminationPairs(c2, "doc_id", "text",
+      evalSet, "eval_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((7L, 101L)))
   }
 
   test("zero-token docs never acquire signatures (minhash + simhash)") {
