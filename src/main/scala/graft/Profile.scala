@@ -4,14 +4,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 object Profile {
-  def main(args: Array[String]): Unit = {
-    val work = args(0)
-    val cores = args(1).toInt
-    val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Per-stage wall/cpu/gc/spill/shuffle printer, attachable to any session
+    * (ScaleBench attaches it when SPARK_GRAFT_PROFILE=1). */
+  def attach(spark: SparkSession, cores: Int): Unit =
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -27,6 +23,16 @@ object Profile {
         println(f"[stage-$cores] id=${si.stageId}%3d tasks=${si.numTasks}%4d wall=$wall%7.2fs cpu=$cpu%7.1fs run=$run%7.1fs gc=$gc%6.1fs spill=$spillM%6.0f/$spillD%6.0fMB in=$inB%6.0f shw=$shW%6.0f shr=$shR%6.0f ${si.name.take(40)}")
       }
     })
+
+  def main(args: Array[String]): Unit = {
+    val work = args(0)
+    val cores = args(1).toInt
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    attach(spark, cores)
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
     for (round <- 1 to 2) {
       rm(new java.io.File(s"$work/tile_stats"))

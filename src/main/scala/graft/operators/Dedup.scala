@@ -106,21 +106,25 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl")))
     var changed = if (labels.isEmpty) 0L else 1L
     while (changed > 0) {
-      // neighbor min: lbl'(v) = min(lbl(v), min over u~v of lbl(u))
+      // neighbor min: lbl'(v) = min(lbl(v), min over u~v of lbl(u)).
+      // The node's OWN previous label rides along as `prev` (non-null only
+      // on the self row, exactly one per id), so the termination check
+      // below is a scan of the just-materialized blocks — NOT the extra
+      // per-round shuffle join with the previous labels it used to be
+      // (profiled: that join plus its AQE staging was pure driver-serial
+      // latency, the dominant scaling-efficiency cost of the loop)
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-        .union(labels.select("id", "lbl"))
-        .groupBy("id").agg(min("lbl").as("lbl"))
+        .select(col("dst").as("id"), col("lbl"), lit(null).cast("long").as("prev"))
+        .union(labels.select(col("id"), col("lbl"), col("lbl").as("prev")))
+        .groupBy("id").agg(min("lbl").as("lbl"), max("prev").as("prev"))
       // pointer jump: lbl''(v) = lbl'(lbl'(v)) — labels are node ids, so
       // the inner join always matches
       val jumped = nbrMin
         .join(nbrMin.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("lbl") === col("jid"))
-        .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
+        .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"), col("prev"))
       val next = truncate(jumped)
-      changed = next.select(col("id"), col("lbl").as("nlbl"))
-        .join(labels, "id")
-        .where(col("nlbl") =!= col("lbl")).count()
+      changed = next.where(col("lbl") =!= col("prev")).count()
       graft.ParUtil.freeCheckpoint(labels) // Dataset.unpersist is a no-op here
       labels = next
     }
