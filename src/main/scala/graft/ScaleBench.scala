@@ -48,7 +48,12 @@ object ScaleBench {
     val spark = session(cores)
     try {
       def once(): (Double, Double) = {
-        spark.catalog.clearCache() // iterative/index jobs persist intermediates
+        // clean slate per pass: clearCache drops CacheManager entries, and
+        // the explicit sweep drops (local)checkpoint blocks too — those
+        // live in the BlockManager only (dedupGroups' final labels), so
+        // clearCache alone would leak one per pass
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         run(spark)
         val sec = (System.nanoTime() - t0) / 1e9
@@ -83,7 +88,10 @@ object ScaleBench {
         if (!new java.io.File(s"$work/images_count.txt").exists())
           Pipeline.prepareN(prep, rows, sfDir, work)
       case "dedup" =>
-        if (!new java.io.File(s"$work/_READY").exists()) {
+        // marker is per-job AND per-size: a workDir prepared for another
+        // job (or another `rows`) must re-prepare, not silently reuse
+        // wrong data — the printed rows/s is published evidence
+        if (!new java.io.File(s"$work/_READY-dedup-$rows").exists()) {
           // 4-node chains on the first 4 ids of every 40-id block: 10% of
           // nodes paired (the realistic dup-group minority), singleton
           // majority exercised through the final attach join
@@ -96,10 +104,10 @@ object ScaleBench {
               "struct(id*40+2 AS id_a, id*40+3 AS id_b))) AS e")
             .select("e.*")
             .repartition(32).write.mode("overwrite").parquet(s"$work/pairs")
-          new java.io.File(s"$work/_READY").createNewFile()
+          new java.io.File(s"$work/_READY-dedup-$rows").createNewFile()
         }
       case "ivf" =>
-        if (!new java.io.File(s"$work/_READY").exists()) {
+        if (!new java.io.File(s"$work/_READY-ivf-$rows").exists()) {
           // deterministic 32-dim embeddings CLUSTERED around 200 centers
           // (center + small noise): uniform random vectors are the known
           // worst case for any metric index — in high dimension all
@@ -112,7 +120,7 @@ object ScaleBench {
                 "CAST(pmod(hash(pmod(vec_id, 200), j), 1000) AS FLOAT) / 1000.0 + " +
                 "CAST(pmod(hash(vec_id, j), 1000) AS FLOAT) / 20000.0)"))
             .repartition(32).write.mode("overwrite").parquet(s"$work/vecs")
-          new java.io.File(s"$work/_READY").createNewFile()
+          new java.io.File(s"$work/_READY-ivf-$rows").createNewFile()
         }
       case other => sys.error(s"unknown job '$other' (pipeline|dedup|ivf)")
     } finally prep.stop()
@@ -132,9 +140,21 @@ object ScaleBench {
         force(graft.operators.Ann.ivfTopK(vecs, queries, k = 10))
     }
 
-    val (bestN, rpsN) = timed(nCores, rows)(run)
-    val (best4N, rps4N) = timed(n4Cores, rows)(run)
+    // throughput must reflect the data ACTUALLY on disk: a pipeline workDir
+    // prepared earlier with a different size is reused (count-file guard),
+    // so read the recorded count back rather than trusting the CLI arg —
+    // the printed rows/s is published scaling evidence
+    val effRows = job match {
+      case "pipeline" =>
+        val f = java.nio.file.Paths.get(s"$work/images_count.txt")
+        if (java.nio.file.Files.exists(f))
+          java.nio.file.Files.readString(f).trim.toLong
+        else rows
+      case _ => rows // per-job-and-size _READY marker guarantees the match
+    }
+    val (bestN, rpsN) = timed(nCores, effRows)(run)
+    val (best4N, rps4N) = timed(n4Cores, effRows)(run)
     val eff = (rps4N / rpsN) / 4.0
-    println(f"""{"job":"$job","sf":"$sfDir","rows":$rows,"n_cores":$nCores,"sec_N":$bestN%.3f,"rps_N":$rpsN%.1f,"sec_4N":$best4N%.3f,"rps_4N":$rps4N%.1f,"scaling_efficiency_N_to_4N":$eff%.3f}""")
+    println(f"""{"job":"$job","sf":"$sfDir","rows":$effRows,"n_cores":$nCores,"sec_N":$bestN%.3f,"rps_N":$rpsN%.1f,"sec_4N":$best4N%.3f,"rps_4N":$rps4N%.1f,"scaling_efficiency_N_to_4N":$eff%.3f}""")
   }
 }

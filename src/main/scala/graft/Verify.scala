@@ -17,8 +17,13 @@ object Verify {
     graft.functions.GraftFunctions.register(spark) // once; per-query reg() is then a no-op
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for targeted iteration (same contract
-    // as Bench); the driver never sets it, so its runs dump everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // as Bench); the driver never sets it, so its runs dump everything.
+    // Filtered runs rewrite oracle_sql.json with ONLY the subset — always
+    // point them at a fresh outDir, or a later check over a previously-full
+    // dir would silently verify just the subset. Empty/blank counts as
+    // unset (Set("") would otherwise filter out every query).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

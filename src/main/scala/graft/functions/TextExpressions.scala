@@ -325,6 +325,21 @@ object textexprs {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
+    // registered as a SQL function, so reject bad calls at ANALYSIS time:
+    // raw text in slot 1 (the natural mistake — the sibling gram functions
+    // take strings) would otherwise CCE per row on the executor, and an
+    // array<int> would silently read garbage through getLong
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = left.dataType match {
+        case ArrayType(LongType, _) | ArrayType(StringType, _) => true
+        case _ => false
+      }
+      if (ok && right.dataType == IntegerType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_set expects (array<bigint>|array<string>, int), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
     private lazy val stringElems: Boolean = left.dataType match {
       case ArrayType(StringType, _) => true
       case _ => false

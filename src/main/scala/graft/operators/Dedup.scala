@@ -437,11 +437,15 @@ object Dedup {
   /** Prefix-index fan-out estimate: sum over indexed prefix tokens of
     * d*(d-1)/2 (d = docs indexing the token) — an upper bound on the
     * candidate pairs the prefix self-join can emit, in ONE cheap agg over
-    * the (id, tok) prefix frame. */
-  private[graft] def prefixFanout(prefix: DataFrame): Long =
-    prefix.groupBy("tok").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - lit(1))), lit(0L)).as("f"))
-      .first().getLong(0) / 2
+    * the (id, tok) prefix frame. Summed in DOUBLE: in exactly the
+    * template-corpus regime the breaker exists for, d ~ 10^7 over 10^5
+    * tokens overflows a Long sum (ANSI crash or silent wrap-negative, which
+    * would DISARM the breaker); a threshold estimate needs magnitude, not
+    * exactness. */
+  private[graft] def prefixFanout(prefix: DataFrame): Double =
+    prefix.groupBy("tok").agg(count(lit(1)).cast("double").as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - lit(1.0))), lit(0.0)).as("f"))
+      .first().getDouble(0) / 2.0
 
   /** Breaker candidate route: minhash band join over the element SETS
     * ([[graft.functions.textexprs.MinHashSet]] — equal sets get equal
@@ -509,14 +513,22 @@ object Dedup {
     // contract as jaccardPairsDict's mask cache (held by the CacheManager
     // until the caller clears it; see that docstring)
     val toks = toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefix = prefixIndex(toks, threshold)
+    // with the breaker armed the prefix frame has TWO consumers (the
+    // fan-out estimate action and, if the bound holds, the candidate
+    // join) — persist it so the non-tripped path doesn't rebuild the
+    // heaviest stage of the plan twice; same CacheManager lifecycle
+    // contract as `toks`
+    val armed = maxCandidatePairs > 0L
+    val prefix0 = prefixIndex(toks, threshold)
+    val prefix =
+      if (armed) prefix0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prefix0
     // circuit breaker (armed by maxCandidatePairs > 0): when the prefix
     // index's own fan-out estimate says the candidate join degenerates
     // toward all-pairs (template corpora), generate candidates from the
     // minhash band join instead — the exact verify below is shared by both
     // routes, only candidate GENERATION changes
-    val usePrefix =
-      maxCandidatePairs <= 0L || prefixFanout(prefix) <= maxCandidatePairs
+    val usePrefix = !armed || prefixFanout(prefix) <= maxCandidatePairs.toDouble
     val cand =
       if (usePrefix)
         prefix.as("a").join(prefix.as("b"),

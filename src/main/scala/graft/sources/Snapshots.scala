@@ -94,6 +94,22 @@ object Snapshots {
       portableParts: Boolean = false,
       maxPartsPerRun: Int = Int.MaxValue): Seq[PartitionMeta] = {
     import spark.implicits._
+    // refuse to mix layouts: writing snap_id dirs next to a legacy FLAT
+    // data/part_id=N table would leave readData's winner resolution
+    // pointing at data/snap_id=<old>/... dirs that never existed, making
+    // the table unreadable. Legacy tables stay readable (readData's flat
+    // branch); migrating means rewriting them through writeSnapshot into a
+    // fresh table path.
+    val legacyFlat = {
+      val dataDir = Paths.get(s"$table/data")
+      Files.isDirectory(dataDir) && {
+        val s = Files.list(dataDir)
+        try s.anyMatch(_.getFileName.toString.startsWith("part_id="))
+        finally s.close()
+      }
+    }
+    require(!legacyFlat,
+      s"$table/data uses the pre-snapshot-dir flat layout; rewrite it into a fresh table first")
     val committed = committedMetas(spark, table, snapshotId)
     val done = committed.map(_.partId).toSet
     val pendingAll = (0 until nParts).filterNot(done.contains)
@@ -262,6 +278,42 @@ object Snapshots {
   private def manifestPath(table: String, sid: Long): Path =
     Paths.get(s"${metaDir(table)}/snapshots/manifest-$sid.parquet")
 
+  /** Snapshot ids with a LIVE published manifest, ascending — the
+    * time-travelable set. */
+  private def committedSids(table: String): Vector[Long] = {
+    val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
+    if (!Files.isDirectory(snapDir)) return Vector.empty
+    val s = Files.list(snapDir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("manifest-") && n.endsWith(".parquet") =>
+        n.stripPrefix("manifest-").stripSuffix(".parquet").toLong }
+      .toVector.sorted
+    finally s.close()
+  }
+
+  /** Snapshot ids that were EVER committed: live manifests plus the hidden
+    * `.expired-<sid>` tombstones [[expireSnapshots]] leaves behind. Winner
+    * resolution must consult exactly this set — not raw lineage rows
+    * (in-flight / crashed / abandoned partial snapshots have lineage too,
+    * and trusting them would leak uncommitted data into reads), and not
+    * only live manifests (an expired snapshot's surviving still-referenced
+    * files must keep resolving for the retained snapshots that read
+    * through them). */
+  private def everCommittedSids(table: String): Vector[Long] = {
+    val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
+    if (!Files.isDirectory(snapDir)) return Vector.empty
+    val s = Files.list(snapDir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect {
+        case n if n.startsWith("manifest-") && n.endsWith(".parquet") =>
+          n.stripPrefix("manifest-").stripSuffix(".parquet").toLong
+        case n if n.startsWith(".expired-") =>
+          n.stripPrefix(".expired-").toLong
+      }
+      .toVector.distinct.sorted
+    finally s.close()
+  }
+
   /** Table state at a snapshot: for each part_id, the files written by the
     * NEWEST snapshot <= `asOf` that wrote that partition (resolved from the
     * lineage table — metadata-scale work, nParts result rows). Defaults to
@@ -290,11 +342,16 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"snapshot $s of $table is not committed or has been expired")
     }
+    // only EVER-COMMITTED snapshots resolve (everCommittedSids): an
+    // abandoned partial write leaves lineage rows without a manifest, and
+    // those rows must never beat a committed writer — otherwise readers
+    // would see data from a snapshot that never published
+    val committed = everCommittedSids(table).filter(_ <= sid)
     // struct max = lexicographic on (snapshot_id, row_count); snapshot_id is
     // unique per (snapshot, part) modulo crash-resume duplicates, which carry
     // identical recomputed stats
     val winners = readPartitionMeta(spark, table)
-      .where(col("snapshot_id") <= sid)
+      .where(col("snapshot_id").isin(committed: _*))
       .groupBy("part_id")
       .agg(max(struct(col("snapshot_id"), col("row_count"))).as("w"))
       .select(col("part_id"), col("w.snapshot_id").as("sid"), col("w.row_count").as("rows"))
@@ -320,24 +377,19 @@ object Snapshots {
     * lineage table is metadata-scale. Returns the expired snapshot ids. */
   def expireSnapshots(spark: SparkSession, table: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
-    if (!Files.isDirectory(snapDir)) return Nil
-    val committed = {
-      val s = Files.list(snapDir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("manifest-") && n.endsWith(".parquet") =>
-          n.stripPrefix("manifest-").stripSuffix(".parquet").toLong }
-        .toVector.sorted
-      finally s.close()
-    }
+    val committed = committedSids(table)
     val expired = committed.dropRight(keepLast)
     if (expired.isEmpty) return Nil
     val rMin = committed(committed.size - keepLast) // oldest retained
-    // (S, P) with S expired stays on disk iff S is still the newest writer
-    // of P as of the oldest retained snapshot — then every retained
-    // snapshot's read of P resolves to S's file
+    // (S, P) with S expired stays on disk iff S is still the newest
+    // ever-committed writer of P as of the oldest retained snapshot — then
+    // every retained snapshot's read of P resolves to S's file (same
+    // rule as readData's winner resolution, so previously-expired-but-
+    // still-referenced snapshots compete too and their surviving files are
+    // never deleted out from under a retained read)
+    val resolvable = everCommittedSids(table).filter(_ <= rMin)
     val stillReferenced: Set[(Long, Int)] = readPartitionMeta(spark, table)
-      .where(col("snapshot_id") <= rMin)
+      .where(col("snapshot_id").isin(resolvable: _*))
       .groupBy("part_id")
       .agg(max(col("snapshot_id")).as("sid"))
       .collect()
@@ -378,7 +430,17 @@ object Snapshots {
       }
       if (nowEmpty) graft.FsUtil.rmTree(sDir.toString)
     }
-    expired.foreach(s => Files.deleteIfExists(manifestPath(table, s)))
+    // tombstone BEFORE deleting the manifest: the was-ever-committed fact
+    // must survive expiry (winner resolution trusts only ever-committed
+    // lineage rows, and an expired snapshot's still-referenced files keep
+    // resolving retained reads). A crash between the two leaves both — the
+    // distinct in everCommittedSids makes that harmless.
+    expired.foreach { s =>
+      val tomb = Paths.get(s"${metaDir(table)}/snapshots/.expired-$s")
+      try Files.createFile(tomb)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      Files.deleteIfExists(manifestPath(table, s))
+    }
     expired
   }
 }

@@ -222,6 +222,30 @@ class ImagesSpec extends SparkTestBase {
     expect(at3, None)
     assert(!exists(s"$t/data/snap_id=1") && !exists(s"$t/data/snap_id=2"))
     assert(Snapshots.expireSnapshots(spark, t, keepLast = 1).isEmpty)
+
+    // snapshot ISOLATION: abandoned partial snapshot 9 writes parts 0-2
+    // (lineage rows + data files, no manifest, CURRENT untouched), then
+    // snapshot 10 commits a 2-part overwrite. Part 2 must resolve to the
+    // last COMMITTED writer (snapshot 3) — never to uncommitted 9, whose
+    // lineage rows beat 3 on snapshot_id alone
+    Snapshots.writeSnapshot(spark, rows(100, "x").toDF("k", "v"), t,
+      snapshotId = 9L, nParts = 4, keyCol = "k", portableParts = true,
+      maxPartsPerRun = 3)
+    expect(at3, None) // still current = 3, nothing of 9 visible
+    Snapshots.writeSnapshot(spark, rows(80, "y").toDF("k", "v"), t,
+      snapshotId = 10L, nParts = 2, keyCol = "k", portableParts = true)
+    expect(rows(80, "y") ++ rows(200, "c").filter(_._1 % 4 >= 2), None)
+    intercept[IllegalArgumentException](Snapshots.readData(spark, t, Some(9L)))
+  }
+
+  test("writeSnapshot refuses a legacy flat-layout data dir") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-legacy").toString
+    val t = s"$dir/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$t/data/part_id=0"))
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.writeSnapshot(spark, df, t, snapshotId = 1L, nParts = 2, keyCol = "k"))
+    assert(e.getMessage.contains("flat layout"))
   }
 
   test("resume completes a first commit that crashed between lock and publish") {
