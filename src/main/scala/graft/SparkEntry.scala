@@ -504,6 +504,32 @@ object SparkEntry {
         .select(lit(1L).as("snapshot_id"), col("part_id"), col("row_count"), col("data_rows"))
         .orderBy("part_id")
     }),
+    "q55_time_travel" -> ((s, dir) => {
+      // time-travel pillar, driver-checked end-to-end: snapshot 1 commits
+      // the events projection; snapshot 2 overwrites with only the rows in
+      // parts 0-3 (event_id % 8 < 4), upper-cased — parts 4-7 get 0-row
+      // lineage (overwrite-to-empty). readData(asOf=1) must return the
+      // ORIGINAL table and the current read the overwritten state, both
+      // recomputable by SQL from the source table alone (portable parts).
+      reg(s)
+      val work = "/tmp/graft-q55-" + dir.replaceAll("[^0-9a-zA-Z.]", "")
+      FsUtil.rmTree(work) // clean slate: the query is self-contained
+      val df = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,
+        keyCol = "event_id", operation = "init", portableParts = true)
+      val df2 = df.where(pmod(col("event_id"), lit(8)) < 4)
+        .withColumn("event_type", upper(col("event_type")))
+      Snapshots.writeSnapshot(s, df2, work, snapshotId = 2L, nParts = 8,
+        keyCol = "event_id", operation = "overwrite", portableParts = true)
+      def state(asOf: Option[Long], tag: Int) =
+        Snapshots.readData(s, work, asOf)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+          .select(lit(tag.toLong).as("snap"), col("event_type"),
+            col("cnt"), col("min_id"), col("max_id"))
+      state(Some(1L), 1).unionByName(state(None, 2)).orderBy("snap", "event_type")
+    }),
     "q43_image_phash_blocks" -> ((s, dir) => {
       // the last two image subops, oracle-pinned via payload invariants:
       // block-mean phash agrees exactly across the lossless codecs (png ==
@@ -824,6 +850,14 @@ object SparkEntry {
           "JOIN g b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
           "SELECT id_a, id_b FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
           "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8 ORDER BY id_a, id_b"),
+      "q55_time_travel" ->
+        ("SELECT * FROM (" +
+          "SELECT CAST(1 AS BIGINT) AS snap, event_type, count(*) AS cnt, min(event_id) AS min_id, max(event_id) AS max_id " +
+          "FROM events GROUP BY 2 " +
+          "UNION ALL " +
+          "SELECT CAST(2 AS BIGINT), upper(event_type), count(*), min(event_id), max(event_id) " +
+          "FROM events WHERE event_id % 8 < 4 GROUP BY 2) " +
+          "ORDER BY snap, event_type"),
       "q54_decontamination" ->
         // word 13-grams via shingle semantics: whitespace tokens, windows
         // joined with ' ', whole token list as the single gram when a doc
