@@ -69,6 +69,14 @@ object ScaleBench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Remove every `_READY-<job>-<rows>` marker in `work` (called before a
+    * re-prepare: exactly one marker may certify the on-disk data). */
+  private def dropReadyMarkers(work: String): Unit = {
+    val d = new java.io.File(work)
+    if (d.isDirectory)
+      d.listFiles().filter(_.getName.startsWith("_READY-")).foreach(_.delete())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
@@ -90,8 +98,11 @@ object ScaleBench {
       case "dedup" =>
         // marker is per-job AND per-size: a workDir prepared for another
         // job (or another `rows`) must re-prepare, not silently reuse
-        // wrong data — the printed rows/s is published evidence
+        // wrong data — the printed rows/s is published evidence. Stale
+        // sibling markers are dropped first, or an A->B->A size sequence
+        // would find A's old marker still certifying B's data.
         if (!new java.io.File(s"$work/_READY-dedup-$rows").exists()) {
+          dropReadyMarkers(work)
           // 4-node chains on the first 4 ids of every 40-id block: 10% of
           // nodes paired (the realistic dup-group minority), singleton
           // majority exercised through the final attach join
@@ -108,6 +119,7 @@ object ScaleBench {
         }
       case "ivf" =>
         if (!new java.io.File(s"$work/_READY-ivf-$rows").exists()) {
+          dropReadyMarkers(work)
           // deterministic 32-dim embeddings CLUSTERED around 200 centers
           // (center + small noise): uniform random vectors are the known
           // worst case for any metric index — in high dimension all

@@ -348,7 +348,7 @@ object textexprs {
       val arr = arrAny.asInstanceOf[ArrayData]
       val m = arr.numElements()
       if (m == 0) return null
-      val n = nAny.asInstanceOf[Int]
+      val n = math.max(1, nAny.asInstanceOf[Int]) // n <= 0 would silently yield an empty signature
       val sig = Array.fill(n)(Long.MaxValue)
       var i = 0
       while (i < m) {

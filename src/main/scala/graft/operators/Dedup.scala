@@ -377,27 +377,33 @@ object Dedup {
     * so a SQL oracle recomputes the whole check verbatim (q54). */
   def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
                          evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
-                         n: Int = 13): DataFrame = {
-    require(n >= 1, "contaminationPairs needs n >= 1")
+                         n: Int = 13): DataFrame =
+    // per-doc gram sets are already distinct (kernel contract), so the
+    // count after the gram equijoin is exactly |grams(doc) ∩ grams(eval)|
+    gramHits(corpus, idCol, textCol, evalSet, evalIdCol, evalTextCol, n)
+      .groupBy(idCol, "eval_id").agg(count(lit(1)).as("shared_grams"))
+
+  /** corpus gram rows inner-joined to the broadcast eval gram set. */
+  private def gramHits(corpus: DataFrame, idCol: String, textCol: String,
+                       evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, "contamination check needs n >= 1")
     val evalGrams = widen(evalSet).select(col(evalIdCol).as("eval_id"),
       explode(word_ngram_hash_set(col(evalTextCol), n)).as("gram"))
     val corpusGrams = widen(corpus).select(col(idCol).as(idCol),
       explode(word_ngram_hash_set(col(textCol), n)).as("gram"))
-    // per-doc gram sets are already distinct (kernel contract), so the
-    // count after the gram equijoin is exactly |grams(doc) ∩ grams(eval)|
     corpusGrams.join(broadcast(evalGrams), "gram")
-      .groupBy(idCol, "eval_id").agg(count(lit(1)).as("shared_grams"))
   }
 
-  /** Drop every corpus row flagged by [[contaminationPairs]] (any shared
-    * exact word n-gram with any eval doc). One anti-join on the flagged id
-    * set — the corpus passes through otherwise untouched. */
+  /** Drop every corpus row sharing any exact word n-gram with any eval doc.
+    * One anti-join against the raw gram hits — no per-(doc, eval) count
+    * aggregation is paid (that extra shuffle is [[contaminationPairs]]'s
+    * reporting concern, not the drop's). */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
                     n: Int = 13): DataFrame = {
-    val flagged = contaminationPairs(corpus, idCol, textCol,
-      evalSet, evalIdCol, evalTextCol, n).select(col(idCol)).distinct()
-    corpus.join(flagged, Seq(idCol), "left_anti")
+    val hits = gramHits(corpus, idCol, textCol, evalSet, evalIdCol, evalTextCol, n)
+    corpus.join(hits.select(col(idCol)), Seq(idCol), "left_anti")
   }
 
   /** PPJoin-style prefix-filtered plan (general vocabularies —
@@ -529,6 +535,9 @@ object Dedup {
     // minhash band join instead — the exact verify below is shared by both
     // routes, only candidate GENERATION changes
     val usePrefix = !armed || prefixFanout(prefix) <= maxCandidatePairs.toDouble
+    // tripped: the materialized prefix cache is dead weight from here on —
+    // release it now rather than taxing the rest of the session
+    if (armed && !usePrefix) prefix.unpersist(false)
     val cand =
       if (usePrefix)
         prefix.as("a").join(prefix.as("b"),

@@ -334,7 +334,14 @@ object Snapshots {
       try s.anyMatch(_.getFileName.toString.startsWith("snap_id="))
       finally s.close()
     }
-    if (!hasSnapDirs) return spark.read.parquet(dataDir)
+    if (!hasSnapDirs) {
+      // legacy tables overwrote data/part_id=N in place — no history
+      // exists, so silently serving CURRENT data for an asOf read would be
+      // wrong data with no error
+      require(asOf.isEmpty,
+        s"$table uses the pre-snapshot-dir flat layout; time travel is not available")
+      return spark.read.parquet(dataDir)
+    }
     val sid = asOf.orElse(currentSnapshot(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed snapshot"))
     asOf.foreach { s =>
@@ -358,8 +365,12 @@ object Snapshots {
       .where(col("rows") > 0)
       .collect()
     if (winners.isEmpty)
-      throw new IllegalArgumentException(
-        s"$table is empty at snapshot $sid (no partition has rows)")
+      // a committed all-empty snapshot (every lineage row 0 rows — e.g.
+      // decontaminate dropped everything) is a legitimate state: return an
+      // EMPTY frame with the table schema (recovered from the existing
+      // snapshot dirs; hasSnapDirs guarantees at least one file exists)
+      return spark.read.option("basePath", dataDir).parquet(dataDir)
+        .drop("snap_id").where(lit(false))
     val dirs = winners.map { r =>
       s"$dataDir/snap_id=${r.getAs[Long]("sid")}/part_id=${r.getAs[Int]("part_id")}"
     }
@@ -396,6 +407,19 @@ object Snapshots {
       .map(r => (r.getAs[Long]("sid"), r.getAs[Int]("part_id")))
       .filter { case (s, _) => s < rMin }
       .toSet
+    // retract the expired snapshots from the catalog BEFORE touching any
+    // data file: tombstone (the was-ever-committed fact must survive for
+    // winner resolution), then delete the manifest. A crash mid-expire then
+    // leaves expired-but-unswept files — re-running expire finishes the
+    // sweep — never a live manifest pointing at deleted dirs (which would
+    // turn a valid asOf read into PATH_NOT_FOUND instead of the designed
+    // expired error).
+    expired.foreach { s =>
+      val tomb = Paths.get(s"${metaDir(table)}/snapshots/.expired-$s")
+      try Files.createFile(tomb)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      Files.deleteIfExists(manifestPath(table, s))
+    }
     // sweep every on-disk snapshot dir older than the oldest retained
     // snapshot — including dirs a PREVIOUS expire left behind because they
     // were still referenced then (their manifests are already gone, so the
@@ -429,17 +453,6 @@ object Snapshots {
         try !l.iterator().hasNext finally l.close()
       }
       if (nowEmpty) graft.FsUtil.rmTree(sDir.toString)
-    }
-    // tombstone BEFORE deleting the manifest: the was-ever-committed fact
-    // must survive expiry (winner resolution trusts only ever-committed
-    // lineage rows, and an expired snapshot's still-referenced files keep
-    // resolving retained reads). A crash between the two leaves both — the
-    // distinct in everCommittedSids makes that harmless.
-    expired.foreach { s =>
-      val tomb = Paths.get(s"${metaDir(table)}/snapshots/.expired-$s")
-      try Files.createFile(tomb)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      Files.deleteIfExists(manifestPath(table, s))
     }
     expired
   }

@@ -246,6 +246,28 @@ class ImagesSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       Snapshots.writeSnapshot(spark, df, t, snapshotId = 1L, nParts = 2, keyCol = "k"))
     assert(e.getMessage.contains("flat layout"))
+    // and a time-travel read on a flat table must refuse — it has no
+    // history, so serving current data for asOf would be silently wrong
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.readData(spark, t, asOf = Some(1L)))
+    assert(e2.getMessage.contains("time travel"))
+  }
+
+  test("a committed all-empty snapshot reads back as an empty frame, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-empty").toString
+    val t = s"$dir/t"
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Snapshots.writeSnapshot(spark, df, t, snapshotId = 1L, nParts = 2, keyCol = "k")
+    // snapshot 2 legitimately empties the table (e.g. decontaminate
+    // dropped every row); it commits and must read back as zero rows with
+    // the table schema — while asOf=1 still returns the old state
+    Snapshots.writeSnapshot(spark, df.where($"k" < 0), t, snapshotId = 2L,
+      nParts = 2, keyCol = "k", operation = "overwrite")
+    assert(Snapshots.currentSnapshot(t).contains(2L))
+    val empty = Snapshots.readData(spark, t)
+    assert(empty.columns.toSet == Set("k", "v", "part_id"))
+    assert(empty.count() == 0)
+    assert(Snapshots.readData(spark, t, Some(1L)).count() == 100)
   }
 
   test("resume completes a first commit that crashed between lock and publish") {
