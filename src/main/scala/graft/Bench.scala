@@ -48,10 +48,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    // optional comma-separated filter for targeted timing runs — same
-    // contract as Verify: tokens trimmed, blank counts as unset
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
-      .map(_.split(",").map(_.trim).toSet)
+    // optional filter for targeted timing runs (shared parse: ParUtil)
+    val only = ParUtil.onlyFilter
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1))
 

@@ -40,4 +40,11 @@ object ParUtil {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** The `SPARK_GRAFT_ONLY` query filter, ONE parse shared by Bench and
+    * Verify so the contract cannot drift: comma-separated names, tokens
+    * trimmed, blank counts as unset. */
+  def onlyFilter: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** N -> 4N scaling-efficiency evidence (north_rule; sandbox substitute per
@@ -65,9 +65,6 @@ object ScaleBench {
       if (a._1 <= b._1) a else b
     } finally spark.stop()
   }
-
-  private def force(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
 
   /** Remove every `_READY-<job>-<rows>` marker in `work` (called before a
     * re-prepare: exactly one marker may certify the on-disk data). */
@@ -145,11 +142,11 @@ object ScaleBench {
       case "dedup" =>
         val nodes = spark.read.parquet(s"$work/nodes")
         val pairs = spark.read.parquet(s"$work/pairs")
-        force(graft.operators.Dedup.dedupGroups(nodes, pairs, "id"))
+        Bench.force(graft.operators.Dedup.dedupGroups(nodes, pairs, "id"))
       case "ivf" =>
         val vecs = spark.read.parquet(s"$work/vecs")
         val queries = vecs.where(pmod(col("vec_id"), lit(math.max(1L, rows / 1000))) === 0)
-        force(graft.operators.Ann.ivfTopK(vecs, queries, k = 10))
+        Bench.force(graft.operators.Ann.ivfTopK(vecs, queries, k = 10))
     }
 
     // throughput must reflect the data ACTUALLY on disk: a pipeline workDir

@@ -16,14 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark) // once; per-query reg() is then a no-op
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated filter for targeted iteration (same contract
-    // as Bench); the driver never sets it, so its runs dump everything.
-    // Filtered runs rewrite oracle_sql.json with ONLY the subset — always
-    // point them at a fresh outDir, or a later check over a previously-full
-    // dir would silently verify just the subset. Empty/blank counts as
-    // unset (Set("") would otherwise filter out every query).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
-      .map(_.split(",").map(_.trim).toSet)
+    // optional filter for targeted iteration (shared parse: ParUtil); the
+    // driver never sets it, so its runs dump everything. Filtered runs
+    // rewrite oracle_sql.json with ONLY the subset — always point them at a
+    // fresh outDir, or a later check over a previously-full dir would
+    // silently verify just the subset.
+    val only = ParUtil.onlyFilter
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

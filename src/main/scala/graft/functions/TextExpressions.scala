@@ -55,6 +55,20 @@ object textexprs {
     r
   }
 
+  /** Sort + dedup a hash array in place, returning the Catalyst array
+    * (shared tail of the gram-set kernels). */
+  private def sortedDistinct(out: Array[Long]): Any = {
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
   /** Char offsets of each code-point start, plus the end: offsets(i) is the
     * UTF-16 index where code point i begins, offsets(count) = s.length.
     * Identity (offsets(i) == i) when the string has no surrogate pairs —
@@ -255,15 +269,7 @@ object textexprs {
         out(i) = portableHash60(s.substring(off(i), off(math.min(i + n, cps))))
         i += 1
       }
-      java.util.Arrays.sort(out)
-      var w = 0
-      var r = 0
-      while (r < m) {
-        if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
-        r += 1
-      }
-      UnsafeArrayData.fromPrimitiveArray(
-        if (w == m) out else java.util.Arrays.copyOf(out, w))
+      sortedDistinct(out)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramHashSet =
       copy(left = l, right = r)
@@ -290,15 +296,7 @@ object textexprs {
       val out = new Array[Long](sh.length)
       var i = 0
       while (i < sh.length) { out(i) = portableHash60(sh(i)); i += 1 }
-      java.util.Arrays.sort(out)
-      var w = 0
-      var r = 0
-      while (r < out.length) {
-        if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
-        r += 1
-      }
-      UnsafeArrayData.fromPrimitiveArray(
-        if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+      sortedDistinct(out)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): WordNgramHashSet =
       copy(left = l, right = r)

@@ -100,14 +100,8 @@ object Snapshots {
     // the table unreadable. Legacy tables stay readable (readData's flat
     // branch); migrating means rewriting them through writeSnapshot into a
     // fresh table path.
-    val legacyFlat = {
-      val dataDir = Paths.get(s"$table/data")
-      Files.isDirectory(dataDir) && {
-        val s = Files.list(dataDir)
-        try s.anyMatch(_.getFileName.toString.startsWith("part_id="))
-        finally s.close()
-      }
-    }
+    val legacyFlat =
+      entryNames(Paths.get(s"$table/data")).exists(_.startsWith("part_id="))
     require(!legacyFlat,
       s"$table/data uses the pre-snapshot-dir flat layout; rewrite it into a fresh table first")
     val committed = committedMetas(spark, table, snapshotId)
@@ -214,13 +208,8 @@ object Snapshots {
     // first commit crashed mid-publish probe an all-hidden snapshots dir with
     // spark.read.parquet, which throws unable-to-infer-schema and wedged the
     // documented crash-resume path
-    val hasLegacyParts = Files.exists(snapDir) && {
-      val s = Files.list(snapDir)
-      try s.anyMatch { p =>
-        val n = p.getFileName.toString
-        !n.startsWith("manifest-") && !n.startsWith(".")
-      } finally s.close()
-    }
+    val hasLegacyParts = entryNames(snapDir)
+      .exists(n => !n.startsWith("manifest-") && !n.startsWith("."))
     if (hasLegacyParts &&
         !readSnapshots(spark, table).where(col("snapshot_id") === snapshotId).isEmpty) return
 
@@ -278,18 +267,22 @@ object Snapshots {
   private def manifestPath(table: String, sid: Long): Path =
     Paths.get(s"${metaDir(table)}/snapshots/manifest-$sid.parquet")
 
-  /** Snapshot ids with a LIVE published manifest, ascending — the
-    * time-travelable set. */
-  private def committedSids(table: String): Vector[Long] = {
-    val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
-    if (!Files.isDirectory(snapDir)) return Vector.empty
-    val s = Files.list(snapDir)
-    try s.iterator().asScala.map(_.getFileName.toString)
-      .collect { case n if n.startsWith("manifest-") && n.endsWith(".parquet") =>
-        n.stripPrefix("manifest-").stripSuffix(".parquet").toLong }
-      .toVector.sorted
+  /** Entry names of `dir` (empty when it is not a directory). All listing
+    * in this object goes through here — one stream-closing site. */
+  private def entryNames(dir: Path): Vector[String] = {
+    if (!Files.isDirectory(dir)) return Vector.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
     finally s.close()
   }
+
+  /** Snapshot ids with a LIVE published manifest, ascending — the
+    * time-travelable set. */
+  private def committedSids(table: String): Vector[Long] =
+    entryNames(Paths.get(s"${metaDir(table)}/snapshots"))
+      .collect { case n if n.startsWith("manifest-") && n.endsWith(".parquet") =>
+        n.stripPrefix("manifest-").stripSuffix(".parquet").toLong }
+      .sorted
 
   /** Snapshot ids that were EVER committed: live manifests plus the hidden
     * `.expired-<sid>` tombstones [[expireSnapshots]] leaves behind. Winner
@@ -299,20 +292,15 @@ object Snapshots {
     * only live manifests (an expired snapshot's surviving still-referenced
     * files must keep resolving for the retained snapshots that read
     * through them). */
-  private def everCommittedSids(table: String): Vector[Long] = {
-    val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
-    if (!Files.isDirectory(snapDir)) return Vector.empty
-    val s = Files.list(snapDir)
-    try s.iterator().asScala.map(_.getFileName.toString)
+  private def everCommittedSids(table: String): Vector[Long] =
+    entryNames(Paths.get(s"${metaDir(table)}/snapshots"))
       .collect {
         case n if n.startsWith("manifest-") && n.endsWith(".parquet") =>
           n.stripPrefix("manifest-").stripSuffix(".parquet").toLong
         case n if n.startsWith(".expired-") =>
           n.stripPrefix(".expired-").toLong
       }
-      .toVector.distinct.sorted
-    finally s.close()
-  }
+      .distinct.sorted
 
   /** Table state at a snapshot: for each part_id, the files written by the
     * NEWEST snapshot <= `asOf` that wrote that partition (resolved from the
@@ -329,11 +317,7 @@ object Snapshots {
     val dataDir = s"$table/data"
     // pre-r5 tables laid data out flat (data/part_id=N, overwritten in
     // place): no snap_id dirs to resolve, read as-is
-    val hasSnapDirs = Files.isDirectory(Paths.get(dataDir)) && {
-      val s = Files.list(Paths.get(dataDir))
-      try s.anyMatch(_.getFileName.toString.startsWith("snap_id="))
-      finally s.close()
-    }
+    val hasSnapDirs = entryNames(Paths.get(dataDir)).exists(_.startsWith("snap_id="))
     if (!hasSnapDirs) {
       // legacy tables overwrote data/part_id=N in place — no history
       // exists, so silently serving CURRENT data for an asOf read would be
@@ -424,35 +408,17 @@ object Snapshots {
     // snapshot — including dirs a PREVIOUS expire left behind because they
     // were still referenced then (their manifests are already gone, so the
     // expired-id list alone would never revisit them)
-    val oldDirs = {
-      val dataDir = Paths.get(s"$table/data")
-      if (!Files.isDirectory(dataDir)) Vector.empty[Long]
-      else {
-        val l = Files.list(dataDir)
-        try l.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.startsWith("snap_id=") => n.stripPrefix("snap_id=").toLong }
-          .filter(_ < rMin).toVector
-        finally l.close()
-      }
-    }
+    val oldDirs = entryNames(Paths.get(s"$table/data"))
+      .collect { case n if n.startsWith("snap_id=") => n.stripPrefix("snap_id=").toLong }
+      .filter(_ < rMin)
     oldDirs.foreach { s =>
       val sDir = Paths.get(s"$table/data/snap_id=$s")
-      val parts = {
-        val l = Files.list(sDir)
-        try l.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("part_id=")).toVector
-        finally l.close()
-      }
-      parts.foreach { pn =>
+      entryNames(sDir).filter(_.startsWith("part_id=")).foreach { pn =>
         val pid = pn.stripPrefix("part_id=").toInt
         if (!stillReferenced.contains((s, pid)))
           graft.FsUtil.rmTree(sDir.resolve(pn).toString)
       }
-      val nowEmpty = {
-        val l = Files.list(sDir)
-        try !l.iterator().hasNext finally l.close()
-      }
-      if (nowEmpty) graft.FsUtil.rmTree(sDir.toString)
+      if (entryNames(sDir).isEmpty) graft.FsUtil.rmTree(sDir.toString)
     }
     expired
   }
