@@ -81,6 +81,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(bnl <= 4, s"only the query x capped-centroids crossJoin, got $bnl")
   }
 
+  test("decontamination: eval grams broadcast, corpus never nested-loop joined") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val evalSet = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val p = plan(Dedup.contaminationPairs(docs, "doc_id", "text",
+      evalSet, "eval_id", "text", n = 13))
+    assert(p.contains("word_ngram_hash_set"), "narrow gram kernel on both sides")
+    assert(p.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram equijoin only — the corpus is never all-pairs joined")
+    // the only shuffle after the broadcast join is the (id, eval_id) count,
+    // with its map-side partial step
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate expected")
+  }
+
   test("tile counts: single shuffle with partial aggregation") {
     val p = plan(SpatialJoin.tileCounts(SynthData.points(spark, dir), 6))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, "exactly one shuffle")
