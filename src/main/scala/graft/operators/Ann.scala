@@ -149,9 +149,11 @@ object Ann {
     *     candidate) pair appears once: no dedup shuffle.
     *
     * Scale shape: the broadcasts are the capped centroid frame, the
-    * per-query probe lists, and the quantized QUERY frame itself (see
-    * [[ivfSearchWithHandle]] — queries must be the small side; split huge
-    * batches, top-k composes per query); the corpus-side assignment is ONE
+    * per-query probe lists, and (default mode) the quantized QUERY frame
+    * itself — queries are the small side in the service shape; pass
+    * `broadcastQueries = false` for huge batches to route query vectors
+    * through shuffle joins instead ([[ivfSearchWithHandle]]); the
+    * corpus-side assignment is ONE
     * narrow kernel pass whose result is persisted (MEMORY_AND_DISK) so the
     * d_k and phase-2 subtrees reuse it instead of recomputing it per
     * consumer (the round-3 5x-re-execution smell); the probe join is a
@@ -169,7 +171,8 @@ object Ann {
     * [[ivfTopKIndexed]] — no per-call count/sample/assignment work and no
     * in-memory cache to manage. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              maxCentroids: Int = 4096, nProbe: Int = 4): DataFrame = {
+              maxCentroids: Int = 4096, nProbe: Int = 4,
+              broadcastQueries: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     buildIvfAssigned(corpus, maxCentroids) match {
@@ -178,7 +181,8 @@ object Ann {
         val cells = assigned.groupBy("cell").agg(max(col("dc")).as("rc"))
         val centsDf = centVecs.zipWithIndex
           .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cent_id", "cv")
-        ivfSearch(queries, assigned, cells, centsDf, k, nProbe, persistQc = true)
+        ivfSearchWithHandle(queries, assigned, cells, centsDf, k, nProbe,
+          persistQc = true, broadcastQueries)._1
     }
   }
 
@@ -255,9 +259,14 @@ object Ann {
     * no-cache-to-manage service contract still holds (nothing stays in the
     * CacheManager), at the cost of the result being computed at call time
     * rather than lazily. Free the returned frame's blocks with
-    * [[graft.ParUtil.freeCheckpoint]] when done. */
+    * [[graft.ParUtil.freeCheckpoint]] when done.
+    *
+    * `broadcastQueries = false` routes query vectors through shuffle joins
+    * instead of broadcasting the query frame — the plan for batches too
+    * big for the broadcast limit (see [[ivfSearchWithHandle]]). */
   def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
-                     nProbe: Int = 4, cacheQueryDists: Boolean = false): DataFrame = {
+                     nProbe: Int = 4, cacheQueryDists: Boolean = false,
+                     broadcastQueries: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val assigned = spark.read.parquet(s"$indexPath/assigned")
     val cells = spark.read.parquet(s"$indexPath/cells")
@@ -271,22 +280,16 @@ object Ann {
       // lazy plan, zero session cache: the two probe phases recompute the
       // (skinny, narrow) |q| x C distance frame — right default for a
       // long-lived service that must not accumulate one pinned RDD per call
-      ivfSearch(queries, assigned, cells, centsDf, k, nProbe, persistQc = false)
+      ivfSearchWithHandle(queries, assigned, cells, centsDf, k, nProbe,
+        persistQc = false, broadcastQueries)._1
     else {
       val (plan, qc) = ivfSearchWithHandle(queries, assigned, cells, centsDf,
-        k, nProbe, persistQc = true)
+        k, nProbe, persistQc = true, broadcastQueries)
       val eager = plan.localCheckpoint(true) // materialize while qc is hot
       qc.foreach(_.unpersist(false))
       eager
     }
   }
-
-  /** The two-phase triangle-inequality search shared by [[ivfTopK]] and
-    * [[ivfTopKIndexed]] (thin wrapper dropping the cache handle). */
-  private def ivfSearch(queries: DataFrame, assigned: DataFrame, cells: DataFrame,
-                        centsDf: DataFrame, k: Int, nProbe: Int,
-                        persistQc: Boolean): DataFrame =
-    ivfSearchWithHandle(queries, assigned, cells, centsDf, k, nProbe, persistQc)._1
 
   /** Search internals: `assigned(vec_id, v, n_v, cell, dc)` must be a
     * PARTITION of the corpus; `cells(cell, rc)` its radii; `centsDf
@@ -295,16 +298,20 @@ object Ann {
     * `persistQc`) so a caller that eagerly materializes the result can
     * unpersist it instead of leaving it to the session CacheManager.
     *
-    * Broadcast inventory (the scale contract): the capped centroid frame,
-    * the per-query probe lists, AND the quantized query frame itself
-    * (ids + vectors, into both rankMembers joins) — so QUERIES MUST BE THE
-    * SMALL SIDE, which is the ANN service shape (query batches of 10^3-10^6
-    * against a corpus of 10^9+). A query batch too big to broadcast should
-    * be split into chunks by the caller — chunking composes exactly (top-k
-    * per query is independent across queries). */
+    * Broadcast inventory (the scale contract), default mode: the capped
+    * centroid frame, the per-query probe lists, AND the quantized query
+    * frame itself (ids + vectors, into both rankMembers joins) — so
+    * QUERIES MUST BE THE SMALL SIDE, which is the ANN service shape (query
+    * batches of 10^3-10^6 against a corpus of 10^9+).
+    * `broadcastQueries = false` is the LARGE-batch plan: query vectors are
+    * attached to the skinny probe rows with a shuffle join on query_id and
+    * ride the cell equijoin shuffle instead — nothing query-sized is ever
+    * broadcast (only the capped centroid frame remains), at the cost of
+    * shipping each query vector once per probe row. Identical output. */
   private def ivfSearchWithHandle(queries: DataFrame, assigned: DataFrame, cells: DataFrame,
                                   centsDf: DataFrame, k: Int, nProbe: Int,
-                                  persistQc: Boolean): (DataFrame, Option[DataFrame]) = {
+                                  persistQc: Boolean,
+                                  broadcastQueries: Boolean = true): (DataFrame, Option[DataFrame]) = {
     // query-to-centroid distances (|q| x C, C capped): skinny rows; both
     // probe phases read them, so the in-session path persists (held by the
     // CacheManager until the caller clears it — see ivfTopK's lifecycle
@@ -320,14 +327,25 @@ object Ann {
 
     val pWin = Window.partitionBy("query_id").orderBy(col("dqc"), col("cent_id"))
     val rWin = Window.partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
-    def rankMembers(probes: DataFrame): DataFrame =
-      probes.join(assigned, probes("cent_id") === assigned("cell"))
-        .join(broadcast(q), "query_id")
+    def rankMembers(probes: DataFrame): DataFrame = {
+      // default: probe rows meet the corpus on cell, then the small query
+      // frame is broadcast in. Large-batch: attach qv/n_q to the skinny
+      // probe rows FIRST (shuffle join on query_id), so the cell equijoin
+      // carries them and no query-sized broadcast exists.
+      val withQ =
+        if (broadcastQueries)
+          probes.join(assigned, probes("cent_id") === assigned("cell"))
+            .join(broadcast(q), "query_id")
+        else
+          probes.join(q, "query_id")
+            .join(assigned, probes("cent_id") === assigned("cell"))
+      withQ
         .where(col("query_id") =!= col("vec_id"))
         .withColumn("dist2",
           col("n_q") - lit(2.0) * vec_dot(col("qv"), col("v")) + col("n_v"))
         .withColumn("rnk", row_number().over(rWin))
         .where(col("rnk") <= k)
+    }
 
     // phase 1: nProbe nearest cells -> d_k upper bound (null if < k found,
     // which falls back to probing every cell — still exact, never wrong)

@@ -318,6 +318,18 @@ class OperatorsSpec extends SparkTestBase {
     Ann.writeIvfIndex(vecs.where($"vec_id" < 0), s"$dir/empty")
     assert(Ann.ivfTopKIndexed(vecs.limit(2), s"$dir/empty", k = 3).count() == 0)
 
+    // large-batch plan: query vectors routed through shuffle joins instead
+    // of a query-frame broadcast — identical output by construction
+    for (qmod <- Seq(40, 60)) {
+      val queries = vecs.where($"vec_id" % qmod === 0)
+      val shuffled = Ann.ivfTopKIndexed(queries, s"$dir/idx", k = 6, nProbe = 2,
+          broadcastQueries = false)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+      val brute = Ann.bruteTopK(vecs, queries, k = 6)
+        .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+      assert(shuffled == brute && shuffled.nonEmpty, s"large-batch plan must be exact (qmod=$qmod)")
+    }
+
     // huge-batch mode: cacheQueryDists pays the centroid kernel once and
     // must (a) return identical rows and (b) leave NOTHING in the session
     // CacheManager (the no-cache-to-manage service contract)
