@@ -311,7 +311,7 @@ object Ann {
   private def ivfSearchWithHandle(queries: DataFrame, assigned: DataFrame, cells: DataFrame,
                                   centsDf: DataFrame, k: Int, nProbe: Int,
                                   persistQc: Boolean,
-                                  broadcastQueries: Boolean = true): (DataFrame, Option[DataFrame]) = {
+                                  broadcastQueries: Boolean): (DataFrame, Option[DataFrame]) = {
     // query-to-centroid distances (|q| x C, C capped): skinny rows; both
     // probe phases read them, so the in-session path persists (held by the
     // CacheManager until the caller clears it — see ivfTopK's lifecycle
@@ -332,12 +332,17 @@ object Ann {
       // frame is broadcast in. Large-batch: attach qv/n_q to the skinny
       // probe rows FIRST (shuffle join on query_id), so the cell equijoin
       // carries them and no query-sized broadcast exists.
+      // the shuffle_hash hint ENFORCES the no-query-broadcast contract:
+      // without it the planner would happily auto-broadcast q whenever its
+      // size ESTIMATE (often wildly low behind a selective-looking filter)
+      // falls under the threshold — exactly the failure the caller opted
+      // out of
       val withQ =
         if (broadcastQueries)
           probes.join(assigned, probes("cent_id") === assigned("cell"))
             .join(broadcast(q), "query_id")
         else
-          probes.join(q, "query_id")
+          probes.join(q.hint("shuffle_hash"), "query_id")
             .join(assigned, probes("cent_id") === assigned("cell"))
       withQ
         .where(col("query_id") =!= col("vec_id"))
@@ -356,9 +361,13 @@ object Ann {
       .select(col("query_id"), when(col("found") === k, col("dk0")).as("dk"))
 
     // phase 2: all cells whose lower bound beats d_k (includes every
-    // phase-1 cell that contributed a top-k member, by the same inequality)
+    // phase-1 cell that contributed a top-k member, by the same inequality).
+    // dk is query-sized too, so the large-batch mode keeps it out of
+    // broadcasts as well; the capped `cells` frame may broadcast freely in
+    // either mode (corpus-bounded, <= maxCentroids rows).
     val probes2 = qc.join(cells, qc("cent_id") === cells("cell"))
-      .join(dk, Seq("query_id"), "left")
+      .join(if (broadcastQueries) dk else dk.hint("shuffle_hash"),
+        Seq("query_id"), "left")
       .where(col("dk").isNull || (col("dqc") - col("rc") <= col("dk") + lit(1e-6)))
       .select("query_id", "cent_id")
     (rankMembers(probes2).select("query_id", "vec_id", "rnk", "dist2"),

@@ -267,8 +267,9 @@ object Snapshots {
   private def manifestPath(table: String, sid: Long): Path =
     Paths.get(s"${metaDir(table)}/snapshots/manifest-$sid.parquet")
 
-  /** Entry names of `dir` (empty when it is not a directory). All listing
-    * in this object goes through here — one stream-closing site. */
+  /** Entry names of `dir` (empty when it is not a directory). Every
+    * name-based listing goes through here; [[ensureManifest]] keeps two raw
+    * `Files.list` sites that need Path objects (temp-part lookup/cleanup). */
   private def entryNames(dir: Path): Vector[String] = {
     if (!Files.isDirectory(dir)) return Vector.empty
     val s = Files.list(dir)

@@ -96,6 +96,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate expected")
   }
 
+  test("IVF large-batch mode: query frame rides shuffle joins, never broadcast") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10, nProbe = 3,
+      broadcastQueries = false)
+    val p = plan(df)
+    // the shuffle_hash hint must win over the planner's (often wildly low)
+    // size estimate for the query frame — that IS the mode's contract
+    assert(p.contains("ShuffledHashJoin"), "query attach must be a shuffled join")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(p.contains("vec_nearest") && p.contains("vec_dot"), "kernels unchanged")
+  }
+
   test("tile counts: single shuffle with partial aggregation") {
     val p = plan(SpatialJoin.tileCounts(SynthData.points(spark, dir), 6))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, "exactly one shuffle")
