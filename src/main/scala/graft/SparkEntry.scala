@@ -595,6 +595,30 @@ object SparkEntry {
           floor(col("n_stop") * lit(1000.0) / col("n_tokens")).cast("long").as("stop_milli"))
         .orderBy("doc_id")
     }),
+    "q56_repetition" -> ((s, dir) => {
+      // Gopher-style within-doc repetition signals: duplicate char-8-gram
+      // and word-3-gram fractions (milli rates, exact integers). Composed
+      // entirely from the existing gram kernels: total windows come from
+      // code-point length / token count (the kernels' own window formulas),
+      // distinct windows from the sorted-distinct hash sets.
+      reg(s)
+      t(s, dir, "documents")
+        .withColumn("total8", greatest(length(col("text")) - lit(7), lit(1)).cast("long"))
+        .withColumn("distinct8", size(ngram_hash_set(col("text"), 8)).cast("long"))
+        .withColumn("dup8_milli",
+          floor((col("total8") - col("distinct8")) * lit(1000.0) / col("total8")))
+        .withColumn("ntok",
+          expr("size(filter(split(text, '\\\\s+'), t -> t != ''))").cast("long"))
+        .withColumn("total_w3", when(col("ntok") === 0, lit(0L))
+          .when(col("ntok") < 3, lit(1L)).otherwise(col("ntok") - 2))
+        .withColumn("distinct_w3", size(word_ngram_hash_set(col("text"), 3)).cast("long"))
+        .withColumn("dupw3_milli", when(col("total_w3") > 0,
+          floor((col("total_w3") - col("distinct_w3")) * lit(1000.0) / col("total_w3")))
+          .otherwise(lit(0L)))
+        .select("doc_id", "total8", "distinct8", "dup8_milli",
+          "ntok", "total_w3", "distinct_w3", "dupw3_milli")
+        .orderBy("doc_id")
+    }),
     "q47_image_resize" -> ((s, dir) => {
       // multimodal resize: NN-resample over REAL decoded pixels, re-encoded
       // PNG; invariants = decoded resized dims + phash stability (the 8x8
@@ -858,6 +882,21 @@ object SparkEntry {
           "SELECT CAST(2 AS BIGINT), upper(event_type), count(*), min(event_id), max(event_id) " +
           "FROM events WHERE event_id % 8 < 4 GROUP BY 2) " +
           "ORDER BY snap, event_type"),
+      "q56_repetition" ->
+        ("WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS tk FROM documents) " +
+          "SELECT doc_id, total8, distinct8, CAST(floor((total8 - distinct8) * 1000.0 / total8) AS BIGINT) AS dup8_milli, " +
+          "ntok, total_w3, distinct_w3, " +
+          "CASE WHEN total_w3 > 0 THEN CAST(floor((total_w3 - distinct_w3) * 1000.0 / total_w3) AS BIGINT) ELSE 0 END AS dupw3_milli FROM (" +
+          "SELECT doc_id, CAST(greatest(length(text) - 7, 1) AS BIGINT) AS total8, " +
+          "len(list_distinct([CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15) AS BIGINT) " +
+          "FOR i IN range(1, CAST(greatest(length(text) - 7, 1) AS INTEGER) + 1)])) AS distinct8, " +
+          "len(tk) AS ntok, " +
+          "CAST(CASE WHEN len(tk) = 0 THEN 0 WHEN len(tk) < 3 THEN 1 ELSE len(tk) - 2 END AS BIGINT) AS total_w3, " +
+          "CASE WHEN len(tk) = 0 THEN 0 ELSE len(list_distinct(" +
+          "[CAST('0x' || substr(md5(CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ') " +
+          "ELSE array_to_string(list_slice(tk, CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') END), 1, 15) AS BIGINT) " +
+          "FOR i IN range(1, CAST(greatest(len(tk) - 2, 1) AS INTEGER) + 1)])) END AS distinct_w3 " +
+          "FROM t) ORDER BY doc_id"),
       "q54_decontamination" ->
         // word 13-grams via shingle semantics: whitespace tokens, windows
         // joined with ' ', whole token list as the single gram when a doc

@@ -270,6 +270,86 @@ class ImagesSpec extends SparkTestBase {
     assert(Snapshots.readData(spark, t, Some(1L)).count() == 100)
   }
 
+  test("snapshot store: randomized op sequence matches an in-memory model") {
+    // model-based check of the round-5 store surgery: random full/partial-
+    // width/empty/abandoned writes and expires, with the expected per-
+    // snapshot state tracked in plain Scala. After every op, every LIVE
+    // snapshot must read back exactly its modeled state and every expired
+    // or abandoned one must refuse.
+    val rnd = new scala.util.Random(42)
+    val dir = java.nio.file.Files.createTempDirectory("snap-model").toString
+    val t = s"$dir/t"
+    def dataset(sid: Int, n: Int) =
+      (1 to n).map(i => (i.toLong, s"s$sid-v$i"))
+    // model: committed snapshots -> full expected row set
+    var model = Map.empty[Long, Set[(Long, String)]]
+    var expiredOrAbandoned = Set.empty[Long]
+    var widths = Map.empty[Long, Int]          // committed sid -> its nParts
+    var allWrites = Map.empty[Long, Set[(Long, String)]] // committed sid -> rows WRITTEN by it
+    // sid 1 is always a committed non-empty write: a table whose only
+    // committed content is empty has no parquet file to recover a schema
+    // from (documented readData limitation), and expiring/abandoning
+    // before any commit exercises nothing
+    for (sid <- 1 to 10) {
+      val op = if (sid == 1) 9 else rnd.nextInt(10)
+      if (op < 2 && model.nonEmpty) {
+        // expire to a random keepLast
+        val keep = 1 + rnd.nextInt(model.size)
+        val committed = model.keys.toVector.sorted
+        val gone = committed.dropRight(keep)
+        Snapshots.expireSnapshots(spark, t, keepLast = keep)
+        expiredOrAbandoned ++= gone
+        model --= gone
+      } else if (op < 4) {
+        // abandoned partial write: lineage + files land, never committed
+        Snapshots.writeSnapshot(spark, dataset(sid, 64).toDF("k", "v"), t,
+          snapshotId = sid.toLong, nParts = 4, keyCol = "k",
+          portableParts = true, maxPartsPerRun = 1 + rnd.nextInt(3))
+        expiredOrAbandoned += sid.toLong
+      } else {
+        // committed write at a random width (narrower width = partial
+        // overwrite: parts >= width keep their previous winners),
+        // sometimes with an empty frame (overwrite-to-empty)
+        val nParts = Seq(2, 4, 8)(rnd.nextInt(3))
+        val n = if (sid > 1 && rnd.nextInt(5) == 0) 0 else 30 + rnd.nextInt(120)
+        val rows = dataset(sid, n)
+        Snapshots.writeSnapshot(spark, rows.toDF("k", "v"), t,
+          snapshotId = sid.toLong, nParts = nParts, keyCol = "k", portableParts = true)
+        widths += sid.toLong -> nParts
+        allWrites += sid.toLong -> rows.toSet
+        model += sid.toLong -> resolveModel(widths, allWrites, sid.toLong)
+      }
+      // verify every live snapshot + refusal of dead ones
+      model.foreach { case (s, want) =>
+        val got = Snapshots.readData(spark, t, Some(s)).select("k", "v")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == want, s"snapshot $s after op $sid: ${got.size} vs ${want.size} rows")
+      }
+      expiredOrAbandoned.filterNot(model.contains).foreach { s =>
+        intercept[IllegalArgumentException](Snapshots.readData(spark, t, Some(s)))
+      }
+    }
+    assert(model.nonEmpty, "sequence must end with at least one live snapshot")
+  }
+
+  /** Model-side winner resolution mirroring the store's rule: a row (k, v)
+    * written by committed snapshot S (width w_S, so it sits in part
+    * P = k % w_S) is visible at `asOf` iff S is the NEWEST committed
+    * snapshot <= asOf whose width covers P — i.e. no later committed
+    * snapshot has width > P (wider-or-equal later snapshots rewrite P). */
+  private def resolveModel(widths: Map[Long, Int],
+                           writes: Map[Long, Set[(Long, String)]],
+                           asOf: Long): Set[(Long, String)] = {
+    val committed = widths.keys.toVector.sorted.filter(_ <= asOf)
+    committed.flatMap { s =>
+      val w = widths(s)
+      writes(s).filter { case (k, _) =>
+        val p = k % w
+        !committed.exists(s2 => s2 > s && widths(s2) > p)
+      }
+    }.toSet
+  }
+
   test("resume completes a first commit that crashed between lock and publish") {
     // regression: a snapshots dir holding ONLY hidden entries (the claim
     // lock, a crashed .tmp dir) was counted as legacy manifest parts, and
