@@ -619,6 +619,27 @@ object SparkEntry {
           "ntok", "total_w3", "distinct_w3", "dupw3_milli")
         .orderBy("doc_id")
     }),
+    "q57_pii_redact" -> ((s, dir) => {
+      // PII scrubbing (the standard pre-training redaction pass): emails,
+      // IPv4s and +number runs are synthesized portably per doc (the corpus
+      // itself is PII-free word soup), then redacted with the RE2-safe
+      // pattern chain both engines run byte-identically. Output pins the
+      // full redacted text plus per-class match counts.
+      reg(s)
+      import graft.functions.Pii
+      t(s, dir, "documents")
+        .withColumn("t2", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +"), (col("doc_id") + 12000000).cast("string"),
+          lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1 end")))
+        .select(col("doc_id"),
+          Pii.piiCount(col("t2"), Pii.EmailPattern).cast("long").as("n_email"),
+          Pii.piiCount(col("t2"), Pii.Ipv4Pattern).cast("long").as("n_ip"),
+          Pii.piiCount(col("t2"), Pii.PhonePattern).cast("long").as("n_phone"),
+          Pii.redactPii(col("t2")).as("redacted"))
+        .orderBy("doc_id")
+    }),
     "q47_image_resize" -> ((s, dir) => {
       // multimodal resize: NN-resample over REAL decoded pixels, re-encoded
       // PNG; invariants = decoded resized dims + phash stability (the 8x8
@@ -897,6 +918,20 @@ object SparkEntry {
           "ELSE array_to_string(list_slice(tk, CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') END), 1, 15) AS BIGINT) " +
           "FOR i IN range(1, CAST(greatest(len(tk) - 2, 1) AS INTEGER) + 1)])) END AS distinct_w3 " +
           "FROM t) ORDER BY doc_id"),
+      "q57_pii_redact" -> {
+        val em = graft.functions.Pii.EmailPattern
+        val ip = graft.functions.Pii.Ipv4Pattern
+        val ph = graft.functions.Pii.PhonePattern
+        "WITH t AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@example.com or +' || CAST(doc_id + 12000000 AS VARCHAR) || " +
+          "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' AS t2 FROM documents) " +
+          s"SELECT doc_id, CAST(len(regexp_extract_all(t2, '$em')) AS BIGINT) AS n_email, " +
+          s"CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ip, " +
+          s"CAST(len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_phone, " +
+          s"regexp_replace(regexp_replace(regexp_replace(t2, '$em', '[EMAIL]', 'g'), " +
+          s"'$ip', '[IP]', 'g'), '$ph', '[PHONE]', 'g') AS redacted " +
+          "FROM t ORDER BY doc_id"
+      },
       "q54_decontamination" ->
         // word 13-grams via shingle semantics: whitespace tokens, windows
         // joined with ' ', whole token list as the single gram when a doc

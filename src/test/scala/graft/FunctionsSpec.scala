@@ -161,4 +161,27 @@ class FunctionsSpec extends SparkTestBase {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))"), 8)).collect()(0).getLong(0)
     assert(again == b(0))
   }
+
+  test("redactPii scrubs emails, IPv4s and +numbers; counts match") {
+    import graft.functions.Pii
+    val rows = Seq(
+      (1L, "mail a.b-c_d@ex-ample.org then +12345678 and 192.168.0.1 done"),
+      (2L, "no pii at all"),
+      (3L, "two mails x@y.io z@w.co and ip 1.2.3.4 ip 10.0.0.255"),
+      // +123456 is 6 digits (below the 7-digit phone floor, kept);
+      // 999.999.999.999 matches the dotted-quad SHAPE — the scrubber is
+      // deliberately shape-based, over-redaction beats leaking
+      (4L, "+123456 too short plus 999.999.999.999 odd but redacted")
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), Pii.redactPii(col("t")).as("r"),
+        Pii.piiCount(col("t"), Pii.EmailPattern).as("ne"),
+        Pii.piiCount(col("t"), Pii.Ipv4Pattern).as("ni"),
+        Pii.piiCount(col("t"), Pii.PhonePattern).as("np"))
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got(0) == (("mail [EMAIL] then [PHONE] and [IP] done", 1, 1, 1)))
+    assert(got(1) == (("no pii at all", 0, 0, 0)))
+    assert(got(2) == (("two mails [EMAIL] [EMAIL] and ip [IP] ip [IP]", 2, 2, 0)))
+    assert(got(3) == (("+123456 too short plus [IP] odd but redacted", 0, 1, 0)))
+  }
 }
