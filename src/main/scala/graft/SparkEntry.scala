@@ -619,6 +619,16 @@ object SparkEntry {
           "ntok", "total_w3", "distinct_w3", "dupw3_milli")
         .orderBy("doc_id")
     }),
+    "q58_stratified_sample" -> ((s, dir) => {
+      // deterministic data-mixing: per-language keep rates via the portable
+      // id-hash test — the oracle recomputes the exact kept row set, which
+      // is the reproducibility property the operator exists for
+      reg(s)
+      operators.Sampling.stratified(t(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q57_pii_redact" -> ((s, dir) => {
       // PII scrubbing (the standard pre-training redaction pass): emails,
       // IPv4s and +number runs are synthesized portably per doc (the corpus
@@ -918,6 +928,11 @@ object SparkEntry {
           "ELSE array_to_string(list_slice(tk, CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ') END), 1, 15) AS BIGINT) " +
           "FOR i IN range(1, CAST(greatest(len(tk) - 2, 1) AS INTEGER) + 1)])) END AS distinct_w3 " +
           "FROM t) ORDER BY doc_id"),
+      "q58_stratified_sample" ->
+        ("SELECT doc_id, lang FROM documents " +
+          "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < " +
+          "CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END " +
+          "ORDER BY doc_id"),
       "q57_pii_redact" -> {
         val em = graft.functions.Pii.EmailPattern
         val ip = graft.functions.Pii.Ipv4Pattern

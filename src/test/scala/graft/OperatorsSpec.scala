@@ -435,6 +435,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(p2 == Set((7L, 101L)))
   }
 
+  test("stratified sampling: deterministic, per-stratum rates, default fallback") {
+    val df = (0 until 3000).map(i =>
+      (i.toLong, Seq("A", "B", "C")(i % 3))).toDF("id", "stratum")
+    def run() = graft.operators.Sampling.stratified(df, "id", "stratum",
+        Map("A" -> 0.5, "B" -> 0.0), defaultRate = 1.0)
+      .select("id").as[Long].collect().toSet
+    val kept = run()
+    val byStratum = kept.groupBy(id => Seq("A", "B", "C")((id % 3).toInt))
+      .view.mapValues(_.size).toMap
+    assert(byStratum.getOrElse("B", 0) == 0, "rate 0.0 keeps nothing")
+    assert(byStratum("C") == 1000, "absent stratum falls back to defaultRate 1.0")
+    val a = byStratum("A")
+    assert(a > 350 && a < 650, s"rate 0.5 keeps about half, got $a of 1000")
+    assert(run() == kept, "hash-based selection is deterministic")
+    // invariance under repartitioning: the kept SET is a pure row property
+    assert(graft.operators.Sampling.stratified(df.repartition(7), "id", "stratum",
+      Map("A" -> 0.5, "B" -> 0.0), defaultRate = 1.0)
+      .select("id").as[Long].collect().toSet == kept)
+  }
+
   test("zero-token docs never acquire signatures (minhash + simhash)") {
     // includes tab/newline-only docs: Spark trim() strips only spaces, so a
     // trim-based guard would still pair (5, 6)
