@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * IPv4 (dotted quads), then `+`-prefixed number runs.
   */
 object Pii {
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i): real-world emails are mixed-case; Java regex and RE2 treat the
+  // flag identically. Phone runs are UNBOUNDED above the 7-digit floor —
+  // a {7,15} cap would redact only the first 15 digits of a longer run
+  // and leak the tail next to the marker.
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhonePattern = "\\+[0-9]{7,15}"
+  val PhonePattern = "\\+[0-9]{7,}"
 
   def redactPii(text: Column): Column =
     regexp_replace(

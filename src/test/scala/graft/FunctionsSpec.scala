@@ -171,7 +171,9 @@ class FunctionsSpec extends SparkTestBase {
       // +123456 is 6 digits (below the 7-digit phone floor, kept);
       // 999.999.999.999 matches the dotted-quad SHAPE — the scrubber is
       // deliberately shape-based, over-redaction beats leaking
-      (4L, "+123456 too short plus 999.999.999.999 odd but redacted")
+      (4L, "+123456 too short plus 999.999.999.999 odd but redacted"),
+      // mixed-case email must redact; a 16-digit run must redact WHOLLY
+      (5L, "John.Doe@Gmail.COM and +1234567890123456 long")
     ).toDF("id", "t")
     val got = rows.select(col("id"), Pii.redactPii(col("t")).as("r"),
         Pii.piiCount(col("t"), Pii.EmailPattern).as("ne"),
@@ -183,5 +185,6 @@ class FunctionsSpec extends SparkTestBase {
     assert(got(1) == (("no pii at all", 0, 0, 0)))
     assert(got(2) == (("two mails [EMAIL] [EMAIL] and ip [IP] ip [IP]", 2, 2, 0)))
     assert(got(3) == (("+123456 too short plus [IP] odd but redacted", 0, 1, 0)))
+    assert(got(4) == (("[EMAIL] and [PHONE] long", 1, 0, 1)))
   }
 }

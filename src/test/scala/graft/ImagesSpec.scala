@@ -319,11 +319,15 @@ class ImagesSpec extends SparkTestBase {
         allWrites += sid.toLong -> rows.toSet
         model += sid.toLong -> resolveModel(widths, allWrites, sid.toLong)
       }
-      // verify every live snapshot + refusal of dead ones
+      // verify every live snapshot + refusal of dead ones. Compared as
+      // SORTED SEQUENCES, not sets: a store bug that double-resolves a
+      // part dir would produce duplicate physical rows that a set compare
+      // silently collapses
       model.foreach { case (s, want) =>
         val got = Snapshots.readData(spark, t, Some(s)).select("k", "v")
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-        assert(got == want, s"snapshot $s after op $sid: ${got.size} vs ${want.size} rows")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        assert(got == want.toSeq.sorted,
+          s"snapshot $s after op $sid: ${got.size} vs ${want.size} rows")
       }
       expiredOrAbandoned.filterNot(model.contains).foreach { s =>
         intercept[IllegalArgumentException](Snapshots.readData(spark, t, Some(s)))
