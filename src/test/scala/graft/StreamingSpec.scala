@@ -112,6 +112,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming curation: stratified sampling + PII redaction on a document stream") {
+    // the round-5 curation ops are STATELESS narrow transforms, so they run
+    // unchanged under Structured Streaming (no watermark, no state store) —
+    // and, because selection is the portable hash test rather than RNG, the
+    // streamed kept-set equals the batch kept-set on the same rows
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val redacted = graft.operators.Sampling.stratified(
+        input.toDF().toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", Map("en" -> 0.5), defaultRate = 1.0)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Pii.redactPii(col("text")).as("clean"))
+    val q = redacted.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = (0 until 200).map(i =>
+        (i.toLong, if (i % 2 == 0) "en" else "fr", s"doc $i mail u$i@ex.com end"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("curated").as[(Long, String, String)].collect()
+      // batch reference on the same rows
+      val want = graft.operators.Sampling.stratified(
+          rows.toDF("doc_id", "lang", "text"),
+          "doc_id", "lang", Map("en" -> 0.5), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.Pii.redactPii(col("text")).as("clean"))
+        .as[(Long, String, String)].collect()
+      assert(got.sorted.toSeq == want.sorted.toSeq, "stream == batch on identical rows")
+      assert(got.forall(_._3.contains("[EMAIL]")), "every kept doc is redacted")
+      val kept = got.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      assert(kept("fr") == 100, "default rate 1.0 keeps all fr docs")
+      assert(kept.getOrElse("en", 0) < 100, "en sampled below 1.0")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user event counter") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
