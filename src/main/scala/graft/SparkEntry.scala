@@ -56,11 +56,22 @@ object SparkEntry {
   private val P = s"WITH pts AS (${SynthData.ptsCte}), polys AS (${SynthData.polysCte}), " +
     s"queries AS (${SynthData.queriesCte}) "
 
+  /** Relational-core scan WITHOUT [[ParUtil.widen]] (guide §2.4 "remove
+    * shuffles outright"): q01-q04 do no per-row-heavy kernel work above the
+    * scan — their first exchange is the aggregation/window hash partitioning
+    * itself, so the widen round-robin exchange was a pure extra shuffle of
+    * every payload byte (plan evidence: plans/r06/q01..q04_before vs _after,
+    * 3 Exchange -> 2). At 100 TB the table arrives well-partitioned and
+    * widen is a no-op, so this changes nothing at scale; the per-row-heavy
+    * queries (text/codec/WKT kernels) keep widening via [[t]]. */
+  private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
     "q01_pricing_agg" -> ((s, dir) => {
       reg(s)
-      t(s, dir, "lineitem")
+      tRaw(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).cast("long").as("sum_qty"),
@@ -71,8 +82,8 @@ object SparkEntry {
     }),
     "q02_top_customers" -> ((s, dir) => {
       reg(s)
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
+      val o = tRaw(s, dir, "orders")
+      val c = tRaw(s, dir, "customer")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_custkey", "c_mktsegment")
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
@@ -82,7 +93,7 @@ object SparkEntry {
     }),
     "q03_events_window" -> ((s, dir) => {
       reg(s)
-      t(s, dir, "events")
+      tRaw(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
@@ -93,7 +104,7 @@ object SparkEntry {
     "q04_top_events_per_user" -> ((s, dir) => {
       reg(s)
       val w = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
-      t(s, dir, "events")
+      tRaw(s, dir, "events")
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .select(col("user_id"), col("event_id"), col("rnk").cast("long").as("rnk"))
@@ -313,7 +324,7 @@ object SparkEntry {
       val p = polys(s, dir).withColumn("geom", st_geomfromtext(col("wkt")))
         .select("poly_id", "geom")
       SpatialJoin.pointsInPolygonsSalted(pts(s, dir), p, level = 10, salt = 8,
-        sampleFraction = 0.05, hotThreshold = 2000L)
+        sampleFraction = 0.05, hotThreshold = 2000L, broadcastCover = Some(true))
         .select("point_id", "poly_id")
         .orderBy("point_id", "poly_id")
     }),
@@ -482,7 +493,11 @@ object SparkEntry {
       // computes from the source table alone — portable `key % 8`
       // partitioning makes that recomputable.
       reg(s)
-      val work = "/tmp/graft-q42-" + dir.replaceAll("[^0-9a-zA-Z.]", "")
+      // PID-suffixed work dir (r5 advice): two processes running this query
+      // concurrently (e.g. Bench and Verify on one sfDir) must not rmTree
+      // and rewrite the same table under each other
+      val work = "/tmp/graft-q42-" + dir.replaceAll("[^0-9a-zA-Z.]", "") +
+        "-p" + ProcessHandle.current().pid()
       FsUtil.rmTree(work) // clean slate: the query is self-contained
       val df = t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
       Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,
@@ -512,7 +527,9 @@ object SparkEntry {
       // ORIGINAL table and the current read the overwritten state, both
       // recomputable by SQL from the source table alone (portable parts).
       reg(s)
-      val work = "/tmp/graft-q55-" + dir.replaceAll("[^0-9a-zA-Z.]", "")
+      // PID-suffixed work dir (r5 advice) — same rationale as q42
+      val work = "/tmp/graft-q55-" + dir.replaceAll("[^0-9a-zA-Z.]", "") +
+        "-p" + ProcessHandle.current().pid()
       FsUtil.rmTree(work) // clean slate: the query is self-contained
       val df = t(s, dir, "events").select(col("event_id"), col("event_type"))
       Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,

@@ -348,19 +348,28 @@ object textexprs {
       if (m == 0) return null
       val n = math.max(1, nAny.asInstanceOf[Int]) // n <= 0 would silently yield an empty signature
       val sig = Array.fill(n)(Long.MaxValue)
+      var any = false
       var i = 0
       while (i < m) {
-        val base =
-          if (stringElems) portableHash60(arr.getUTF8String(i).toString)
-          else arr.getLong(i)
-        var j = 0
-        while (j < n) {
-          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
-          if (h < sig(j)) sig(j) = h
-          j += 1
+        // null ELEMENTS are skipped explicitly: ArrayData.getLong on a null
+        // slot would silently hash an arbitrary value (typically 0) — a
+        // containsNull=true caller (e.g. a hand-built SQL array) must not
+        // acquire a signature component from nothing (r5 advice)
+        if (!arr.isNullAt(i)) {
+          any = true
+          val base =
+            if (stringElems) portableHash60(arr.getUTF8String(i).toString)
+            else arr.getLong(i)
+          var j = 0
+          while (j < n) {
+            val h = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
         }
         i += 1
       }
+      if (!any) return null // all-null set: no signature, like the empty set
       UnsafeArrayData.fromPrimitiveArray(sig)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSet =

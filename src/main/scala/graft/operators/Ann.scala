@@ -193,13 +193,21 @@ object Ann {
   private def buildIvfAssigned(corpus: DataFrame, maxCentroids: Int)
       : Option[(DataFrame, Array[Array[Double]])] = {
     val c = quantize(corpus, "vec_id", "v").withColumn("n_v", vec_norm2(col("v")))
-    val n = c.count()
-    if (n == 0) return None
-    val cCap = centroidCap(n, math.max(1, maxCentroids))
-    val centVecs: Array[Array[Double]] = c
+    // ONE distributed top-maxCentroids pass doubles as the corpus-size probe:
+    // when it returns fewer than maxCentroids rows, that number IS n and the
+    // separate count() job is skipped (the service/bench shape); only a
+    // corpus larger than the cap still pays the count to size centroidCap.
+    // The retained prefix is identical to the old count-then-limit(cCap)
+    // sample — same (hash(vec_id), vec_id) order, cCap <= maxCentroids.
+    val capMax = math.max(1, maxCentroids)
+    val sample = c
       .select(col("vec_id"), col("v"))
-      .orderBy(hash(col("vec_id")), col("vec_id")).limit(cCap)
+      .orderBy(hash(col("vec_id")), col("vec_id")).limit(capMax)
       .collect()
+    if (sample.isEmpty) return None
+    val n = if (sample.length < capMax) sample.length.toLong else c.count()
+    val cCap = centroidCap(n, capMax)
+    val centVecs: Array[Array[Double]] = sample.take(cCap)
       .map(_.getSeq[Double](1).toArray)
     val dim = centVecs.map(_.length).max
     val flat = new Array[Double](centVecs.length * dim) // short vecs zero-pad
@@ -332,17 +340,22 @@ object Ann {
       // frame is broadcast in. Large-batch: attach qv/n_q to the skinny
       // probe rows FIRST (shuffle join on query_id), so the cell equijoin
       // carries them and no query-sized broadcast exists.
-      // the shuffle_hash hint ENFORCES the no-query-broadcast contract:
-      // without it the planner would happily auto-broadcast q whenever its
-      // size ESTIMATE (often wildly low behind a selective-looking filter)
-      // falls under the threshold — exactly the failure the caller opted
-      // out of
+      // the shuffle_hash hints ENFORCE the no-query-broadcast contract:
+      // without them the planner would happily auto-broadcast q (or the
+      // query-carrying probe frame) whenever its size ESTIMATE (often
+      // wildly low behind a selective-looking filter) falls under the
+      // threshold — exactly the failure the caller opted out of. BOTH
+      // query-carrying joins are hinted: the q attach AND the cell
+      // equijoin's probe side (the r5 advice gap — only the first join was
+      // pinned, so the planner could still broadcast the query-carrying
+      // frame into `assigned`).
       val withQ =
         if (broadcastQueries)
           probes.join(assigned, probes("cent_id") === assigned("cell"))
             .join(broadcast(q), "query_id")
         else
           probes.join(q.hint("shuffle_hash"), "query_id")
+            .hint("shuffle_hash")
             .join(assigned, probes("cent_id") === assigned("cell"))
       withQ
         .where(col("query_id") =!= col("vec_id"))

@@ -266,7 +266,13 @@ object Dedup {
   /** Shared dispatch: one bounded vocabulary probe (<= 65 rows collected)
     * picks the dictionary/bitmask plan for tiny vocabularies, the
     * PPJoin-style prefix plan otherwise. */
-  private def adaptiveJaccard(toks: DataFrame, threshold: Double): DataFrame = {
+  private def adaptiveJaccard(toks0: DataFrame, threshold: Double): DataFrame = {
+    // persist the tokenize subtree BEFORE the vocabulary probe: the probe is
+    // an action, and without the cache the full tokenize pass would execute
+    // once for the probe and again for whichever plan wins (measured as a
+    // duplicated q27 stage in round 6). Same CacheManager lifecycle contract
+    // as the plans themselves (see jaccardPairsDict docstring).
+    val toks = toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.select(explode(col("toks")).as("tok")).distinct()
       .orderBy("tok").as(org.apache.spark.sql.Encoders.STRING).take(65)
     if (vocab.length <= 64) jaccardPairsDict(toks, vocab, threshold)
@@ -517,18 +523,23 @@ object Dedup {
     // the tokenize/gram subtree feeds THREE consumers (the inverted index
     // and both sides of the verify join) — persist it once, same lifecycle
     // contract as jaccardPairsDict's mask cache (held by the CacheManager
-    // until the caller clears it; see that docstring)
-    val toks = toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // with the breaker armed the prefix frame has TWO consumers (the
-    // fan-out estimate action and, if the bound holds, the candidate
-    // join) — persist it so the non-tripped path doesn't rebuild the
-    // heaviest stage of the plan twice; same CacheManager lifecycle
-    // contract as `toks`
+    // until the caller clears it; see that docstring). Skipped when the
+    // caller (adaptiveJaccard) already persisted it.
+    val toks =
+      if (toks0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else toks0
+    // the prefix frame ALWAYS has two consumers — both sides of the
+    // candidate self-join (plus, when armed, the fan-out estimate action):
+    // ReuseExchange does NOT deduplicate the two sides here (the r6 q52/q27
+    // before-plans show the whole inverted-index subtree — df aggregate,
+    // df join, per-doc sort, prefix explode — planned twice, once under a
+    // BroadcastExchange), so persist it unconditionally; same CacheManager
+    // lifecycle contract as `toks`
     val armed = maxCandidatePairs > 0L
-    val prefix0 = prefixIndex(toks, threshold)
     val prefix =
-      if (armed) prefix0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else prefix0
+      prefixIndex(toks, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // circuit breaker (armed by maxCandidatePairs > 0): when the prefix
     // index's own fan-out estimate says the candidate join degenerates
     // toward all-pairs (template corpora), generate candidates from the

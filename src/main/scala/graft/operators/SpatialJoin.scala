@@ -80,7 +80,8 @@ object SpatialJoin {
       level: Int = 12,
       salt: Int = 8,
       sampleFraction: Double = 0.01,
-      hotThreshold: Long = 10000L): DataFrame = {
+      hotThreshold: Long = 10000L,
+      broadcastCover: Option[Boolean] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     // cached once: the CPU-heavy quadtree covering feeds the pre-pass and
@@ -95,8 +96,13 @@ object SpatialJoin {
 
     // cheap pre-pass: sampled per-cell probe counts, restricted to cells
     // that exist in the cover (every point is "hot" at the coarse ancestor
-    // levels, but those cells join nothing unless a polygon covers them)
-    val hotCells = pts.sample(sampleFraction)
+    // levels, but those cells join nothing unless a polygon covers them).
+    // The sample is taken BEFORE the ancestor explode (r6): the per-cell
+    // count of sampled points has the same expectation either way, and the
+    // explode+join pre-pass then touches sampleFraction of the corpus
+    // instead of all of it.
+    val hotCells = points.sample(sampleFraction)
+      .withColumn("cell", explode(st_cell_ancestors(col("lon"), col("lat"), level)))
       .join(cover.select("cell"), "cell")
       .groupBy("cell").count()
       .where(col("count") >= math.max(1L, (hotThreshold * sampleFraction).toLong))
@@ -106,32 +112,51 @@ object SpatialJoin {
       .where(col("full") || st_contains_rings(col("rings"), col("lon"), col("lat")))
       .drop("cell", "full", "rings", "salt")
 
+    // same contract as pointsInPolygons: Some(true) pins the cover side as
+    // the broadcast build (r6: the salt explode defeats the planner's size
+    // estimate, silently degrading the equijoin to sort-merge — two extra
+    // exchanges — on a cover that comfortably fits a broadcast), None lets
+    // Catalyst/AQE decide for huge polygon layers
+    val bc: DataFrame => DataFrame = broadcastCover match {
+      case Some(true) => broadcast
+      case _          => identity
+    }
     if (hotCells.isEmpty) {
-      refined(pts.join(cover, "cell"))
+      refined(pts.join(bc(cover), "cell"))
     } else {
-      // hot/cold split predicates: a codegen'd literal isin for small hot
-      // sets (zero extra exchanges), broadcast hash semi/anti joins for
-      // large ones (constant plan size regardless of |hotCells|)
-      val (isHot, isCold): (DataFrame => DataFrame, DataFrame => DataFrame) =
+      // ONE (cell, salt) equijoin instead of (cold join on cell) UNION (hot
+      // join on cell+salt) — r6: cold rows ride the same join with salt
+      // pinned to 0 on both sides. The matched pair set is identical (a hot
+      // cell's point row carries exactly one salt bucket while its cover
+      // rows are replicated across all S buckets, so the pair meets once;
+      // a cold pair meets once at salt 0), but the point side is scanned
+      // and exploded ONCE instead of twice and the plan loses a second
+      // join + the union (plans/r06/q16_*: 2 joins -> 1).
+      // Hot membership: a codegen'd literal isin for small hot sets (zero
+      // extra exchanges), ONE broadcast left join with a marker column for
+      // large ones (constant plan size regardless of |hotCells|).
+      val markHot: DataFrame => DataFrame =
         if (hotCells.size <= 32) {
           val lits = hotCells.toSeq
-          ((df: DataFrame) => df.where(col("cell").isin(lits: _*)),
-            (df: DataFrame) => df.where(!col("cell").isin(lits: _*)))
+          df => df.withColumn("_hot", col("cell").isin(lits: _*))
         } else {
-          val hotDf = broadcast(hotCells.toSeq.toDF("cell"))
-          ((df: DataFrame) => df.join(hotDf, Seq("cell"), "left_semi"),
-            (df: DataFrame) => df.join(hotDf, Seq("cell"), "left_anti"))
+          val hotDf = broadcast(hotCells.toSeq.toDF("cell")
+            .withColumn("_hot", lit(true)))
+          df => df.join(hotDf, Seq("cell"), "left")
+            .withColumn("_hot", coalesce(col("_hot"), lit(false)))
         }
-      val coldJoin = isCold(pts).join(isCold(cover), "cell")
       // salt by a hash of ALL point columns, not a hard-coded id name: the
       // points schema is caller-defined (point_id here, image_id in the
       // pipeline) and the salt only needs per-row dispersion
-      val hotPts = isHot(pts)
-        .withColumn("salt", pmod(hash(points.columns.map(col): _*), lit(salt)))
-      val hotCover = isHot(cover)
-        .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-      val hotJoin = hotPts.join(hotCover, Seq("cell", "salt"))
-      refined(coldJoin).unionByName(refined(hotJoin))
+      val saltedPts = markHot(pts)
+        .withColumn("salt", when(col("_hot"),
+          pmod(hash(points.columns.map(col): _*), lit(salt))).otherwise(lit(0)))
+        .drop("_hot")
+      val saltedCover = markHot(cover)
+        .withColumn("salt", explode(when(col("_hot"),
+          sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))))
+        .drop("_hot")
+      refined(saltedPts.join(bc(saltedCover), Seq("cell", "salt")))
     }
   }
 

@@ -93,7 +93,6 @@ object Snapshots {
       operation: String = "append",
       portableParts: Boolean = false,
       maxPartsPerRun: Int = Int.MaxValue): Seq[PartitionMeta] = {
-    import spark.implicits._
     // refuse to mix layouts: writing snap_id dirs next to a legacy FLAT
     // data/part_id=N table would leave readData's winner resolution
     // pointing at data/snap_id=<old>/... dirs that never existed, making
@@ -104,7 +103,18 @@ object Snapshots {
       entryNames(Paths.get(s"$table/data")).exists(_.startsWith("part_id="))
     require(!legacyFlat,
       s"$table/data uses the pre-snapshot-dir flat layout; rewrite it into a fresh table first")
-    val committed = committedMetas(spark, table, snapshotId)
+    // resume safety (r5 advice): expireSnapshots can sweep the data dirs of
+    // an UNCOMMITTED (crashed/abandoned) snapshot id below the retention
+    // horizon while its lineage rows survive — trusting those rows on
+    // resume would skip rewriting the parts and publish a manifest whose
+    // reads hit deleted dirs. A committed part counts as done only if its
+    // data dir still exists; 0-row parts write no dir and stay trusted
+    // (there is nothing on disk to lose). The rewrite appends a duplicate
+    // lineage row with identical recomputed stats, which committedMetas /
+    // readData already deduplicate.
+    val committed = committedMetas(spark, table, snapshotId).filter(m =>
+      m.rowCount == 0L || Files.isDirectory(
+        Paths.get(s"$table/data/snap_id=$snapshotId/part_id=${m.partId}")))
     val done = committed.map(_.partId).toSet
     val pendingAll = (0 until nParts).filterNot(done.contains)
     if (pendingAll.isEmpty) {
@@ -117,19 +127,31 @@ object Snapshots {
     val pending = pendingAll.take(maxPartsPerRun)
     val partialRun = pending.length < pendingAll.length
 
-    // one data job + one stats job, NOT a job per partition: the driver-side
-    // loop would serialize nParts small jobs and wreck N->4N scaling
-    // efficiency (Amdahl). Dynamic partition overwrite keeps resume safe: a
-    // crashed run's partially-written partitions are simply rewritten, and
+    // ONE job for data + stats, NOT a job per partition (a driver-side loop
+    // would serialize nParts small jobs and wreck N->4N scaling efficiency —
+    // Amdahl) and NOT a second stats pass over a persisted copy either
+    // (guide §1.2/§5): the per-partition row counts and order-independent
+    // lineage hashes ride the write job itself as observed metrics — two
+    // conditional aggregates per pending part, collected by the same tasks
+    // that write the files. The CollectMetrics node sits ABOVE the
+    // repartition exchange, i.e. inside the write's result stage, where the
+    // scheduler applies accumulator updates exactly once per partition
+    // (failed and duplicate speculative completions are dropped), so the
+    // lineage stats stay exact under retries at cluster scale. Snapshots
+    // wider than 64 pending parts fall back to the persisted two-job path
+    // rather than generating hundreds of aggregate columns.
+    // Dynamic partition overwrite keeps resume safe: a crashed run's
+    // partially-written partitions are simply rewritten, and
     // already-committed partitions are filtered out up front.
     val partExpr =
       if (portableParts) pmod(col(keyCol).cast("long"), lit(nParts.toLong)).cast("int")
       else pmod(hash(col(keyCol)), lit(nParts)).cast("int")
     val withPart = df.withColumn("part_id", partExpr)
-    val filtered = (if (pending.length == nParts) withPart
-                    else withPart.where(col("part_id").isin(pending: _*))).persist()
+    val filtered = if (pending.length == nParts) withPart
+                   else withPart.where(col("part_id").isin(pending: _*))
 
     val dataCols = df.columns
+    val rowHash = hash(dataCols.map(col): _*).cast("long")
     // co-locate each logical partition into ONE writer task: without this,
     // every upstream task writes a file per part_id it sees (cores x nParts
     // small files + commit objects — the file churn was 2-3 s of fixed wall
@@ -140,28 +162,47 @@ object Snapshots {
     // snapshots' files — that immutability is what makes asOf reads and
     // snapshot isolation work); dynamic overwrite within it keeps the
     // crash-resume rewrite of a partially-written partition safe.
-    filtered.repartition(nParts, col("part_id"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part_id")
-      .parquet(s"$table/data/snap_id=$snapshotId")
-
-    // per-partition row counts + order-independent lineage hashes in one agg
-    val stats = filtered
-      .groupBy("part_id")
-      .agg(count(lit(1)).as("rows"),
-        sum(hash(dataCols.map(col): _*).cast("long")).as("lhash"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    filtered.unpersist()
+    def writeData(frame: DataFrame): Unit =
+      frame.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(s"$table/data/snap_id=$snapshotId")
+    val repart = filtered.repartition(nParts, col("part_id"))
+    val stats: Map[Int, (Long, Long)] =
+      if (pending.length <= 64) {
+        val obs = org.apache.spark.sql.Observation(
+          s"snap-$snapshotId-${java.util.UUID.randomUUID}")
+        val aggs = pending.flatMap { pid => Seq(
+          sum(when(col("part_id") === pid, 1L).otherwise(0L)).as(s"c$pid"),
+          sum(when(col("part_id") === pid, rowHash).otherwise(0L)).as(s"h$pid")) }
+        // observe ABOVE the repartition: the metrics are collected in the
+        // write result stage itself (see the exactly-once note above)
+        writeData(repart.observe(obs, aggs.head, aggs.tail: _*))
+        val m = obs.get // the write action completed, so this returns promptly
+        def l(k: String): Long = m.get(k) match {
+          case Some(v: java.lang.Number) => v.longValue
+          case _ => 0L // empty input: sums are null
+        }
+        pending.map(pid => pid -> ((l(s"c$pid"), l(s"h$pid")))).toMap
+      } else {
+        val persisted = filtered.persist()
+        writeData(persisted.repartition(nParts, col("part_id")))
+        val s = persisted.groupBy("part_id")
+          .agg(count(lit(1)).as("rows"), sum(rowHash).as("lhash"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        persisted.unpersist()
+        s
+      }
 
     val metas = pending.map { pid =>
       val (rows, lhash) = stats.getOrElse(pid, (0L, 0L))
       PartitionMeta(snapshotId, pid, rows, lhash)
     }
-    metas.map(m => (m.snapshotId, m.partId, m.rowCount, m.lineageHash))
-      .toDF("snapshot_id", "part_id", "row_count", "lineage_hash")
-      .write.mode(SaveMode.Append).parquet(s"${metaDir(table)}/partitions")
+    // metadata-scale rows: written directly by the driver (atomic publish),
+    // not via a Spark job — see MetaParquet
+    MetaParquet.appendLineage(s"${metaDir(table)}/partitions",
+      metas.map(m => (m.snapshotId, m.partId, m.rowCount, m.lineageHash)))
     // a partial (micro-batch / crash-simulation) run stops here: no
     // manifest row, no CURRENT flip — the snapshot is not yet complete
     if (partialRun) return committed ++ metas
@@ -197,7 +238,6 @@ object Snapshots {
     * crash-then-RESUME path (sequential) is fully safe and q42-proven. */
   private[graft] def ensureManifest(spark: SparkSession, table: String, snapshotId: Long,
                                       operation: String, nParts: Int): Unit = {
-    import spark.implicits._
     val snapDir = Paths.get(s"${metaDir(table)}/snapshots")
     val target = snapDir.resolve(s"manifest-$snapshotId.parquet")
     if (Files.exists(target)) return
@@ -225,27 +265,13 @@ object Snapshots {
       case _: java.nio.file.FileAlreadyExistsException =>
         if (Files.exists(target)) return // already published by the winner
     }
-    val tmpDir = Paths.get(metaDir(table), s".tmp-manifest-$snapshotId-${java.util.UUID.randomUUID}")
-    Seq((snapshotId, java.time.Instant.now.toString, operation, nParts))
-      .toDF("snapshot_id", "ts", "operation", "n_partitions")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-    val partFile = {
-      val s = Files.list(tmpDir)
-      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      finally s.close()
-    }
-    // same-directory ATOMIC_MOVE (tmp lives under _meta, snapshots under
-    // _meta — one filesystem by construction): readers can never observe a
-    // half-written manifest. Replace semantics only matter in the
-    // crashed-claimant resume path above, where the replacement row is the
-    // same snapshot's.
-    try Files.move(partFile, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    finally {
-      val s = Files.list(tmpDir)
-      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
-      Files.deleteIfExists(tmpDir)
-    }
+    // one-row, driver-side parquet write + same-directory ATOMIC_MOVE
+    // (MetaParquet): readers can never observe a half-written manifest, and
+    // no Spark job is launched for a single metadata row. Replace semantics
+    // only matter in the crashed-claimant resume path above, where the
+    // replacement row is the same snapshot's.
+    MetaParquet.writeManifest(target, snapshotId,
+      java.time.Instant.now.toString, operation, nParts)
   }
 
   /** Atomic CURRENT pointer flip (idempotent). */
