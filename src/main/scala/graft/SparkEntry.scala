@@ -154,7 +154,10 @@ object SparkEntry {
     }),
     "q19_group_multipoint" -> ((s, dir) => {
       reg(s)
-      val sub = pts(s, dir).where(col("point_id") % 53 === 0)
+      // widen = false: the WKT formatting runs AFTER the 7-group agg on 7
+      // rows; pre-agg work is a modulo filter (guide §2.4)
+      val sub = SynthData.points(s, dir, widen = false)
+        .where(col("point_id") % 53 === 0)
         .withColumn("gid", col("point_id") % 7)
       sub.groupBy("gid")
         .agg(sort_array(collect_list(struct(col("point_id"), col("lon"), col("lat")))).as("ps"))
@@ -336,14 +339,20 @@ object SparkEntry {
     }),
     "q18_tiles" -> ((s, dir) => {
       reg(s)
-      SpatialJoin.tileCounts(pts(s, dir), 6).orderBy("x", "y")
+      // widen = false: st_tile_x/y are trivial per-row; the groupBy's own
+      // hash exchange is the first real stage boundary (guide §2.4)
+      SpatialJoin.tileCounts(SynthData.points(s, dir, widen = false), 6)
+        .orderBy("x", "y")
     }),
 
     // ---- training-data ops: dedup / similarity / text ----
     "q20_dedup_exact" -> ((s, dir) => {
       reg(s)
+      // tRaw: the md5 runs on ~500 post-agg rows and the pre-agg work is a
+      // substring — exactKeep's own hash exchange is the first stage
+      // boundary, so the widen shuffle was pure overhead (guide §2.4)
       Dedup.exactKeep(
-        t(s, dir, "documents").withColumn("key", substring(col("text"), 1, 16)),
+        tRaw(s, dir, "documents").withColumn("key", substring(col("text"), 1, 16)),
         "doc_id", "key")
         .select(md5(col("key")).as("key_md5"), col("keep_id"), col("dupes"))
         .orderBy("key_md5")

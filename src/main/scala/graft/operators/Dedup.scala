@@ -123,8 +123,21 @@ object Dedup {
         .join(nbrMin.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("lbl") === col("jid"))
         .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"), col("prev"))
-      val next = truncate(jumped)
-      changed = next.where(col("lbl") =!= col("prev")).count()
+      // the changed-label count rides the checkpoint job as an observed
+      // metric (r6) instead of a second action over the materialized
+      // blocks: one driver round-trip per propagation round instead of two
+      // — per-round serial latency is the dominant scaling-efficiency cost
+      // of the loop (BENCH/BASELINE.md round-5 table). Every node has a
+      // self row, so `prev` is never null and the sum counts exactly the
+      // rows the old count() action did.
+      val obs = org.apache.spark.sql.Observation(
+        s"cc-changed-${java.util.UUID.randomUUID}")
+      val next = truncate(jumped.observe(obs,
+        sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("changed")))
+      changed = obs.get.get("changed") match {
+        case Some(v: java.lang.Number) => v.longValue
+        case _ => 0L // empty frame: the sum is null
+      }
       graft.ParUtil.freeCheckpoint(labels) // Dataset.unpersist is a no-op here
       labels = next
     }

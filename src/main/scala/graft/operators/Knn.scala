@@ -141,9 +141,17 @@ object Knn {
       val prevPending = pending
       // localCheckpoint: materializes the (tiny) new pending set AND
       // truncates its lineage, so the per-round plan tree stays O(1)-deep
-      // instead of doubling every round (left_anti chains otherwise nest)
-      pending = truncate(pending.join(done, Seq("query_id"), "left_anti"))
-      nPending = pending.count()
+      // instead of doubling every round (left_anti chains otherwise nest).
+      // The pending count rides the same checkpoint job as an observed
+      // metric (r6): one driver round-trip per round instead of two.
+      val obs = org.apache.spark.sql.Observation(
+        s"knn-pending-${java.util.UUID.randomUUID}")
+      pending = truncate(pending.join(done, Seq("query_id"), "left_anti")
+        .observe(obs, count(lit(1)).as("n")))
+      nPending = obs.get.get("n") match {
+        case Some(v: java.lang.Number) => v.longValue
+        case _ => 0L
+      }
       // NOTE deliberately NOT ParUtil.freeCheckpoint(prevPending): the
       // finishedParts plans can recompute through the cached `ranked` back
       // to this frame if a cache block is lost — its (queries-sized)

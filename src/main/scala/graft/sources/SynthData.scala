@@ -55,13 +55,18 @@ object SynthData {
   val queriesCte: String =
     s"SELECT n_nationkey AS query_id, $queryLonSql AS qlon, $queryLatSql AS qlat FROM nation"
 
-  def points(spark: SparkSession, dir: String): DataFrame =
+  def points(spark: SparkSession, dir: String, widen: Boolean = true): DataFrame = {
     // widen: orders.parquet is one small file — everything derived from the
     // point layer (WKT formatting, cell explode, image synth/codecs) would
-    // otherwise execute single-task above the scan (graft.ParUtil)
-    graft.ParUtil.widen(spark.read.parquet(s"$dir/orders.parquet"))
+    // otherwise execute single-task above the scan (graft.ParUtil).
+    // `widen = false` is for consumers whose first operation above the scan
+    // is already an aggregation exchange (e.g. tile counts): there the
+    // widen shuffle buys nothing and costs a full pass (guide §2.4).
+    val raw = spark.read.parquet(s"$dir/orders.parquet")
+    (if (widen) graft.ParUtil.widen(raw) else raw)
       .select(col("o_orderkey").as("point_id"),
         expr(pointLonSql).as("lon"), expr(pointLatSql).as("lat"))
+  }
 
   /** Table-free point synth at arbitrary cardinality (scale benchmarks):
     * same arithmetic as [[points]] with `id` in place of o_orderkey. */
