@@ -296,7 +296,12 @@ object Dedup {
                         minTokenLen: Int): DataFrame =
     widen(df).select(col(idCol).as("id"),
         array_distinct(split(col(textCol), " ")).as("toks"))
-      .withColumn("toks", expr(s"filter(toks, t -> length(t) >= $minTokenLen)"))
+      .withColumn("toks",
+        // sorted once per doc (binary UTF8String order) so the per-pair
+        // verify can run the allocation-free merge kernel instead of
+        // array_intersect's per-call hash set (r6); the set content — and
+        // therefore every mask/signature/Jaccard downstream — is unchanged
+        array_sort(expr(s"filter(toks, t -> length(t) >= $minTokenLen)")))
       .withColumn("sz", size(col("toks")))
       // Jaccard over two EMPTY sets is 0/0: such docs pair with nothing in
       // the naive/prefix plan, so drop them here too — otherwise the dict
@@ -446,6 +451,11 @@ object Dedup {
     *      sets (array_intersect) — no approximation anywhere.
     *
     */
+  /** Contract (r6): `toks` must hold SORTED (Spark binary string order),
+    * duplicate-free arrays — [[tokenSets]] satisfies it via
+    * array_sort(array_distinct(...)) — so the exact verify runs the
+    * allocation-free [[graft.functions.vecexprs.SortedInterCountStr]] merge
+    * instead of `array_intersect`'s per-pair hash set. */
   def jaccardPairsPrefix(toks: DataFrame, threshold: Double): DataFrame =
     prefixPlan(toks, threshold, sortedLongs = false)
 
@@ -577,8 +587,13 @@ object Dedup {
       .join(full.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a")), "id_a")
       .join(full.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("inter",
+        // both token-set producers emit SORTED duplicate-free arrays
+        // (ngram_hash_set contract / tokenSets' array_sort), so the verify
+        // is always the two-pointer merge kernel — array_intersect's
+        // per-pair hash set was the dominant verify cost on big candidate
+        // sets for the string path too (q27 r6 profile: 4.4 CPU-s)
         if (sortedLongs) sorted_inter_count(col("toks_a"), col("toks_b"))
-        else size(array_intersect(col("toks_a"), col("toks_b"))))
+        else sorted_inter_count_str(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)

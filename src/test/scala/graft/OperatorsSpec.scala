@@ -151,7 +151,9 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(big, 0.85) == naive(big, 0.85))
     // and directly exercise the prefix path on the small-vocab corpus too
     val toks = small.toDF("doc_id", "text")
-      .select(col("doc_id").as("id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id").as("id"),
+        // sorted: jaccardPairsPrefix's r6 contract (merge-kernel verify)
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       .withColumn("sz", size(col("toks")))
     val viaPrefix = Dedup.jaccardPairsPrefix(toks, 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -101,9 +101,14 @@ class PlanAuditSpec extends SparkTestBase {
     val df = Ann.ivfTopK(e, e.where(col("vec_id") % 50 === 0), k = 10, nProbe = 3,
       broadcastQueries = false)
     val p = plan(df)
-    // the shuffle_hash hint must win over the planner's (often wildly low)
-    // size estimate for the query frame — that IS the mode's contract
-    assert(p.contains("ShuffledHashJoin"), "query attach must be a shuffled join")
+    // the shuffle_hash hints must win over the planner's (often wildly low)
+    // size estimate for the query frame — that IS the mode's contract. BOTH
+    // query-carrying joins are pinned (r6): the q attach AND the cell
+    // equijoin of the query-carrying frame with `assigned`, in both probe
+    // phases — without the second hint the planner could still
+    // auto-broadcast the query-carrying side into the corpus join.
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"both query-carrying joins must be shuffled, got plan:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"), "no cartesian product")
     assert(p.contains("vec_nearest") && p.contains("vec_dot"), "kernels unchanged")
   }
