@@ -409,9 +409,13 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val b = Dedup.ThetaBlocks.resolve(spark, blocks)
+    // persisted: the quantize+norm pass feeds BOTH sides of the block-pair
+    // self-join and was planned twice (r6, same CacheManager lifecycle
+    // contract as the Dedup signature frames)
     val c = quantize(corpus, "vec_id", "v")
       .withColumn("n2", vec_norm2(col("v")))
       .withColumn("blk", pmod(hash(col("vec_id")), lit(b)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val blockPairs = (for { i <- 0 until b; j <- i until b } yield (i, j))
       .toDF("ba", "bb")
     val lhs = c.join(broadcast(blockPairs), col("blk") === col("ba"))

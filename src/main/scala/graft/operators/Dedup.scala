@@ -179,8 +179,20 @@ object Dedup {
     // them up front so engine and oracle agree on degenerate inputs (rlike
     // \S, because trim() strips only spaces and a tab/newline-only doc is
     // just as tokenless)
-    val withBands = widen(df.where(col(textCol).rlike("\\S"))).select(col(idCol).as("id"),
-        minhash(col(textCol), numHashes, shingleW).as("sig"))
+    // signature frame persisted BELOW the band explode: both sides of the
+    // band self-join read it, and the r6 plan audit showed the signature
+    // pass — the expensive kernel, one md5 + 64 affine perms per shingle
+    // over the whole corpus — planned TWICE (the b-side under a
+    // BroadcastExchange; ReuseExchange does not dedup across a broadcast
+    // boundary). Caching the compact (id, sig) rows rather than the
+    // exploded band rows keeps the cache bands-times smaller (measured 89
+    // vs ~3 MB at sf0.1); the explode re-runs per consumer but is pure
+    // projection. Same CacheManager lifecycle contract as the jaccard
+    // plans (see jaccardPairsDict docstring).
+    val sigs = widen(df.where(col(textCol).rlike("\\S")))
+      .select(col(idCol).as("id"), minhash(col(textCol), numHashes, shingleW).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withBands = sigs
       .select(col("id"), col("sig"),
         posexplode(expr(s"slice(lsh_bands(sig, $nBands), 1, $probeBands)"))
           .as(Seq("band_idx", "bucket")))
@@ -205,8 +217,12 @@ object Dedup {
     * verify by full hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     // exclude zero-token docs (no tokens -> no signature), same as minhash
-    val sigs = widen(df.where(col(textCol).rlike("\\S")))
+    // signature frame persisted below the band explode, for the same
+    // both-sides-of-the-self-join reason as minhashPairs (r6)
+    val sigs0 = widen(df.where(col(textCol).rlike("\\S")))
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigs0
       .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("bucket", expr("(sig >> (band_idx * 15)) & 32767"))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band_idx"), col("bucket"))
@@ -505,10 +521,15 @@ object Dedup {
         }.getOrElse(1)
         math.max(1, numHashes / r)
       }
-    val sigs = toks
+    // signature frame persisted below the band explode: both self-join
+    // sides (r6, same as minhashPairs)
+    val sigs0 = toks
       .select(col("id"), col("sz"),
-        posexplode(lsh_bands(minhash_set(col("toks"), numHashes), nBands))
-          .as(Seq("band_idx", "bucket")))
+        lsh_bands(minhash_set(col("toks"), numHashes), nBands).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigs0
+      .select(col("id"), col("sz"),
+        posexplode(col("bands")).as(Seq("band_idx", "bucket")))
     val a = sigs.select(col("id").as("id_a"), col("sz").as("sz_a"), col("band_idx"), col("bucket"))
     val b = sigs.select(col("id").as("id_b"), col("sz").as("sz_b"), col("band_idx"), col("bucket"))
     a.join(b, Seq("band_idx", "bucket"))
