@@ -180,6 +180,27 @@ class ImagesSpec extends SparkTestBase {
       .where(col("snapshot_id") === 1).count() == 1)
   }
 
+  test("resume rewrites a committed part whose data dir was swept (r6 advice fix)") {
+    val dir = java.nio.file.Files.createTempDirectory("snap-swept").toString
+    val df = (1 to 600).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    // run 1 "crashes" after committing parts 0-1 of 4
+    Snapshots.writeSnapshot(spark, df, s"$dir/t", snapshotId = 1L,
+      nParts = 4, keyCol = "k", portableParts = true, maxPartsPerRun = 2)
+    // an expire-style sweep deletes part 1's data dir while its lineage row
+    // survives (the uncommitted-snapshot-below-horizon scenario)
+    graft.FsUtil.rmTree(s"$dir/t/data/snap_id=1/part_id=1")
+    // resume must re-add part 1 to pending and rewrite it — previously it
+    // trusted the lineage row, skipped the rewrite, and published a
+    // manifest whose reads hit the deleted dir
+    val m = Snapshots.writeSnapshot(spark, df, s"$dir/t", snapshotId = 1L,
+      nParts = 4, keyCol = "k", portableParts = true)
+    assert(m.map(_.partId).toSet == (0 to 3).toSet)
+    assert(Snapshots.currentSnapshot(s"$dir/t").contains(1L))
+    assert(Snapshots.readData(spark, s"$dir/t").count() == 600)
+    assert(Snapshots.readData(spark, s"$dir/t")
+      .where(pmod(col("k"), lit(4)) === 1).count() == 150)
+  }
+
   test("time travel: asOf reads each snapshot exactly; expire keeps referenced files") {
     val dir = java.nio.file.Files.createTempDirectory("snap-tt").toString
     val t = s"$dir/t"
