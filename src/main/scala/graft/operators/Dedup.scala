@@ -100,11 +100,19 @@ object Dedup {
     // labels it is simply min(neighbors ∪ self) — one agg over the edge
     // list, no join — so clique-shaped dup groups (the common case)
     // converge in a single confirming loop iteration.
+    // the paired-node count rides the seed materialization as an observed
+    // metric (r6) — the previous isEmpty probe was a separate job/barrier
+    val seedObs = org.apache.spark.sql.Observation(
+      s"cc-seed-${java.util.UUID.randomUUID}")
     var labels = truncate(
       edges.select(col("src").as("id"), col("dst").as("lbl"))
         .union(edges.select(col("src").as("id"), col("src").as("lbl")))
-        .groupBy("id").agg(min("lbl").as("lbl")))
-    var changed = if (labels.isEmpty) 0L else 1L
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .observe(seedObs, count(lit(1)).as("n")))
+    var changed = seedObs.get.get("n") match {
+      case Some(v: java.lang.Number) if v.longValue > 0 => 1L
+      case _ => 0L
+    }
     while (changed > 0) {
       // neighbor min: lbl'(v) = min(lbl(v), min over u~v of lbl(u)).
       // The node's OWN previous label rides along as `prev` (non-null only
@@ -113,10 +121,17 @@ object Dedup {
       // per-round shuffle join with the previous labels it used to be
       // (profiled: that join plus its AQE staging was pure driver-serial
       // latency, the dominant scaling-efficiency cost of the loop)
+      // persisted (r6): the pointer jump below SELF-JOINS this frame, and
+      // without the cache the whole neighbor-min subtree — the edges join,
+      // the union, the aggregation — was planned and executed twice per
+      // round (stage profile at 12M: two identical 16-task join+agg stages
+      // every round). The cache fills inside the round's single checkpoint
+      // action and is dropped as soon as the round's labels materialize.
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"), lit(null).cast("long").as("prev"))
         .union(labels.select(col("id"), col("lbl"), col("lbl").as("prev")))
         .groupBy("id").agg(min("lbl").as("lbl"), max("prev").as("prev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: lbl''(v) = lbl'(lbl'(v)) — labels are node ids, so
       // the inner join always matches
       val jumped = nbrMin
@@ -138,6 +153,7 @@ object Dedup {
         case Some(v: java.lang.Number) => v.longValue
         case _ => 0L // empty frame: the sum is null
       }
+      nbrMin.unpersist(false) // next is materialized; the round cache is dead
       graft.ParUtil.freeCheckpoint(labels) // Dataset.unpersist is a no-op here
       labels = next
     }
