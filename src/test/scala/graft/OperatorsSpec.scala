@@ -400,6 +400,13 @@ class OperatorsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(dirty == Map(5L -> 5L, 6L -> 5L),
       s"foreign-id pairs must be dropped, got $dirty")
+    // EMPTY pair set (clean corpus): every node is its own representative.
+    // Also pins the r6 observed-metric seed path on a zero-row aggregate —
+    // a metrics-never-delivered regression would hang here, not just fail.
+    val clean = Dedup.dedupGroups(Seq(1L, 2L, 3L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clean == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
   test("decontamination flags exactly the docs sharing a word 13-gram with the eval set") {
