@@ -125,6 +125,9 @@ object Snapshots {
       return committed
     }
     val pending = pendingAll.take(maxPartsPerRun)
+    // a zero-budget micro-batch call commits nothing — return before the
+    // observe path would build an empty aggregate list
+    if (pending.isEmpty) return committed
     val partialRun = pending.length < pendingAll.length
 
     // ONE job for data + stats, NOT a job per partition (a driver-side loop
