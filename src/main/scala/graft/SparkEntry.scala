@@ -67,6 +67,27 @@ object SparkEntry {
   private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** PID-scoped scratch dir under /tmp for the self-contained snapshot
+    * queries (r5 advice: concurrent Bench + Verify must not rmTree each
+    * other's table). Stale siblings left by DEAD processes are swept here
+    * so the per-process dirs cannot accumulate across invocations; a live
+    * process's dir — or any name whose pid cannot be confirmed dead — is
+    * never touched. */
+  private def pidScopedWork(prefix: String): String = {
+    val slash = prefix.lastIndexOf('/')
+    val parent = new java.io.File(prefix.substring(0, slash))
+    val base = prefix.substring(slash + 1) + "-p"
+    val kids = parent.listFiles()
+    if (kids != null) kids.filter(_.getName.startsWith(base)).foreach { f =>
+      val dead = scala.util.Try {
+        val pid = f.getName.substring(base.length).toLong
+        !ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false)
+      }.getOrElse(false)
+      if (dead) FsUtil.rmTree(f)
+    }
+    prefix + "-p" + ProcessHandle.current().pid()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core ----
     "q01_pricing_agg" -> ((s, dir) => {
@@ -502,11 +523,10 @@ object SparkEntry {
       // computes from the source table alone — portable `key % 8`
       // partitioning makes that recomputable.
       reg(s)
-      // PID-suffixed work dir (r5 advice): two processes running this query
+      // PID-scoped work dir (r5 advice): two processes running this query
       // concurrently (e.g. Bench and Verify on one sfDir) must not rmTree
       // and rewrite the same table under each other
-      val work = "/tmp/graft-q42-" + dir.replaceAll("[^0-9a-zA-Z.]", "") +
-        "-p" + ProcessHandle.current().pid()
+      val work = pidScopedWork("/tmp/graft-q42-" + dir.replaceAll("[^0-9a-zA-Z.]", ""))
       FsUtil.rmTree(work) // clean slate: the query is self-contained
       val df = t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
       Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,
@@ -536,9 +556,8 @@ object SparkEntry {
       // ORIGINAL table and the current read the overwritten state, both
       // recomputable by SQL from the source table alone (portable parts).
       reg(s)
-      // PID-suffixed work dir (r5 advice) — same rationale as q42
-      val work = "/tmp/graft-q55-" + dir.replaceAll("[^0-9a-zA-Z.]", "") +
-        "-p" + ProcessHandle.current().pid()
+      // PID-scoped work dir (r5 advice) — same rationale as q42
+      val work = pidScopedWork("/tmp/graft-q55-" + dir.replaceAll("[^0-9a-zA-Z.]", ""))
       FsUtil.rmTree(work) // clean slate: the query is self-contained
       val df = t(s, dir, "events").select(col("event_id"), col("event_type"))
       Snapshots.writeSnapshot(s, df, work, snapshotId = 1L, nParts = 8,
