@@ -379,7 +379,14 @@ object Dedup {
           call_function("shiftleft", lit(1L), element_at(vmap, t)))))
       .select("id", "mask")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (r6): the distinct-mask frame feeds BOTH sides of the
+    // blocked self-join below, and without the cache the distinct
+    // aggregation over the corpus-sized mask cache was planned and executed
+    // once per side (q27 plan evidence) — at scale that is a duplicated
+    // full-corpus aggregation pass. Same CacheManager lifecycle contract
+    // as `withMask` (docstring above).
     val masks = withMask.select("mask").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // same-mask pairs: J = 1.0 by construction (row-level self-join — no
     // per-group array materialization)

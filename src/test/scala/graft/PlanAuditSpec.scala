@@ -113,6 +113,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("vec_nearest") && p.contains("vec_dot"), "kernels unchanged")
   }
 
+  test("dict jaccard: distinct-mask frame computed once, not once per join side") {
+    spark.catalog.clearCache()
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b c d"), (4L, "d e"),
+      (5L, "a e")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+    // the tokenize, mask and distinct-mask subtrees are all persisted, so in
+    // the optimized plan every aggregate lives INSIDE an InMemoryRelation
+    // leaf — zero live Aggregate nodes may remain in the result plan itself.
+    // (Before the r6 fix the distinct-mask aggregation appeared once per
+    // side of the blocked self-join: a duplicated corpus-sized agg at scale.)
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty,
+      s"distinct-mask aggregate must come from the cache, found ${aggs.size} live")
+    spark.catalog.clearCache()
+  }
+
   test("tile counts: single shuffle with partial aggregation") {
     val p = plan(SpatialJoin.tileCounts(SynthData.points(spark, dir), 6))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, "exactly one shuffle")
